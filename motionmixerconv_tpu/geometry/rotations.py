@@ -1,0 +1,153 @@
+"""Batched rotation-representation conversions, TPU-first.
+
+Functional JAX equivalents of the reference's torch geometry kernels
+(reference: h36m/utils/data_utils.py:467-585). The torch versions hardcode
+``.cuda()`` and use host-side index partitioning for the gimbal-lock special
+cases; here everything is a pure, jit/vmap-safe function over ``(..., )``
+batches with the data-dependent branches expressed as ``jnp.where`` masks so
+XLA can compile one static program.
+
+All functions operate in float32 by default and keep the reference's exact
+epsilon constants so outputs agree to float tolerance.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _skew(v: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric cross-product matrix for (..., 3) vectors."""
+    zero = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zero, -v[..., 2], v[..., 1]], axis=-1),
+            jnp.stack([v[..., 2], zero, -v[..., 0]], axis=-1),
+            jnp.stack([-v[..., 1], v[..., 0], zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def expmap2rotmat(r: jnp.ndarray) -> jnp.ndarray:
+    """Exponential map -> rotation matrix (Rodrigues formula).
+
+    Parity with reference ``expmap2rotmat_torch`` (h36m/utils/data_utils.py:555-574),
+    including its ``theta + 1e-7`` normalisation epsilon.
+
+    Args:
+        r: (..., 3) axis-angle vectors.
+    Returns:
+        (..., 3, 3) rotation matrices.
+    """
+    theta = jnp.linalg.norm(r, axis=-1)  # (...,)
+    r0 = r / (theta[..., None] + 1e-7)
+    k = _skew(r0)  # (..., 3, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), k.shape)
+    sin_t = jnp.sin(theta)[..., None, None]
+    cos_t = jnp.cos(theta)[..., None, None]
+    return eye + sin_t * k + (1.0 - cos_t) * (k @ k)
+
+
+def rotmat2euler(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> euler angles, with gimbal-lock special-casing.
+
+    Parity with reference ``rotmat2euler_torch`` (h36m/utils/data_utils.py:467-509).
+    The reference partitions the batch on host by ``R[:, 0, 2] == +/-1``; here the
+    three branches are evaluated densely and combined with masks (branchless, one
+    XLA program, no host sync).
+
+    Args:
+        R: (..., 3, 3) rotation matrices.
+    Returns:
+        (..., 3) euler angles.
+    """
+    r02 = R[..., 0, 2]
+    spec_pos = r02 == 1.0
+    spec_neg = r02 == -1.0
+    special = spec_pos | spec_neg
+
+    # --- general branch ---
+    e1 = -jnp.arcsin(jnp.clip(r02, -1.0, 1.0))
+    cos_e1 = jnp.cos(e1)
+    # Where special, cos_e1 == 0; guard the division (result discarded by mask).
+    safe_cos = jnp.where(special, 1.0, cos_e1)
+    e0 = jnp.arctan2(R[..., 1, 2] / safe_cos, R[..., 2, 2] / safe_cos)
+    e2 = jnp.arctan2(R[..., 0, 1] / safe_cos, R[..., 0, 0] / safe_cos)
+
+    # --- special branches (R[0,2] == +/-1) ---
+    delta = jnp.arctan2(R[..., 0, 1], R[..., 0, 2])
+    se0 = delta
+    se1 = jnp.where(spec_pos, -jnp.pi / 2.0, jnp.pi / 2.0)
+    se2 = jnp.zeros_like(delta)
+
+    eul = jnp.stack(
+        [
+            jnp.where(special, se0, e0),
+            jnp.where(special, se1, e1),
+            jnp.where(special, se2, e2),
+        ],
+        axis=-1,
+    )
+    return eul
+
+
+def rotmat2quat(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> quaternion (w, x, y, z).
+
+    Parity with reference ``rotmat2quat_torch`` (h36m/utils/data_utils.py:512-536),
+    including its ``r_norm + 1e-8`` epsilon.
+    """
+    rotdiff = R - jnp.swapaxes(R, -1, -2)
+    r = jnp.stack(
+        [-rotdiff[..., 1, 2], rotdiff[..., 0, 2], -rotdiff[..., 0, 1]], axis=-1
+    )
+    r_norm = jnp.linalg.norm(r, axis=-1)
+    sintheta = r_norm / 2.0
+    r0 = r / (r_norm[..., None] + 1e-8)
+    costheta = (R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) / 2.0
+    theta = jnp.arctan2(sintheta, costheta)
+    w = jnp.cos(theta / 2.0)
+    xyz = r0 * jnp.sin(theta / 2.0)[..., None]
+    return jnp.concatenate([w[..., None], xyz], axis=-1)
+
+
+def expmap2quat(exp: jnp.ndarray) -> jnp.ndarray:
+    """Exponential map -> quaternion.
+
+    Parity with reference ``expmap2quat_torch`` (h36m/utils/data_utils.py:539-552),
+    including its ``theta + 1e-7`` epsilon.
+    """
+    theta = jnp.linalg.norm(exp, axis=-1, keepdims=True)
+    v = exp / (theta + 1e-7)
+    sinhalf = jnp.sin(theta / 2.0)
+    coshalf = jnp.cos(theta / 2.0)
+    return jnp.concatenate([coshalf, v * sinhalf], axis=-1)
+
+
+def rodrigues(r: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Axis-angle -> rotation matrix, SMPL convention.
+
+    Parity with reference ``rodrigues`` (utils/ang2joint.py:62-88). The reference
+    jitters ``r`` with gaussian noise of std 1e-8 to avoid a 0/0 at the identity;
+    we use the deterministic ``sqrt(|r|^2 + eps^2)`` guard instead (differences
+    are O(1e-8), below float32 resolution, and reproducible).
+
+    Uses the outer-product form R = cos(t) I + (1-cos t) rr^T + sin(t) [r]_x
+    matching the reference formula exactly.
+
+    Args:
+        r: (..., 3) axis-angle vectors.
+    Returns:
+        (..., 3, 3) rotation matrices.
+    """
+    theta = jnp.sqrt(jnp.sum(r * r, axis=-1) + eps * eps)  # (...,)
+    r_hat = r / theta[..., None]
+    cos = jnp.cos(theta)[..., None, None]
+    sin = jnp.sin(theta)[..., None, None]
+    outer = r_hat[..., :, None] * r_hat[..., None, :]
+    # NOTE: SMPL's skew sign convention is the transpose of `_skew`
+    # (reference builds m = [[0, -z, y], [z, 0, -x], [-y, x, 0]], same as _skew).
+    m = _skew(r_hat)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), outer.shape)
+    return cos * eye + (1.0 - cos) * outer + sin * m
