@@ -1,0 +1,92 @@
+"""Losses and evaluation metrics, TPU-first.
+
+JAX equivalents of the reference metric suite (h36m/utils/utils_mixer.py).
+Every metric is a pure function over batched arrays; the reference's Python
+loops (the 299-threshold PCK sweep at utils_mixer.py:36-45 and the cumulative
+delta decode at :165-175) are replaced with one broadcast and one ``cumsum``
+respectively, so each metric is a single fused XLA computation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..geometry.rotations import expmap2rotmat, rotmat2euler
+
+
+def mpjpe_error(batch_pred: jnp.ndarray, batch_gt: jnp.ndarray) -> jnp.ndarray:
+    """Mean per-joint position error.
+
+    Parity with reference ``mpjpe_error`` (h36m/utils/utils_mixer.py:48-53):
+    mean L2 over all (..., 3) joint coordinates.
+    """
+    diff = (batch_gt - batch_pred).reshape(-1, 3)
+    return jnp.mean(jnp.linalg.norm(diff, axis=-1))
+
+
+def pck(
+    predictions: jnp.ndarray, targets: jnp.ndarray, thresh: jnp.ndarray
+) -> jnp.ndarray:
+    """Percentage of correct keypoints within ``thresh``.
+
+    Parity with reference ``pck`` (h36m/utils/utils_mixer.py:20-34); accepts a
+    scalar or a (T,) vector of thresholds (broadcast, returning (T,)).
+    """
+    dist = jnp.sqrt(jnp.sum((predictions - targets) ** 2, axis=-1))  # (..., J)
+    thresh = jnp.asarray(thresh)
+    if thresh.ndim == 0:
+        return jnp.mean((dist <= thresh).astype(jnp.float32))
+    # (T, ...) broadcast: one pass over all thresholds.
+    ok = dist[None, ...] <= thresh.reshape((-1,) + (1,) * dist.ndim)
+    return jnp.mean(ok.astype(jnp.float32), axis=tuple(range(1, dist.ndim + 1)))
+
+
+def auc_pck_metric(predictions: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """AUC of the PCK curve over thresholds 0.001..0.3 (step 0.001).
+
+    Parity with reference ``auc_pck_metric`` (h36m/utils/utils_mixer.py:36-45):
+    trapezoidal integration with dx=0.001, normalised by 0.299. The reference's
+    299-iteration Python loop is one broadcast here.
+    """
+    threshs = jnp.arange(0.001, 0.3, 0.001, dtype=jnp.float32)  # (299,)
+    pck_values = pck(predictions, targets, threshs)  # (299,)
+    return jnp.trapezoid(pck_values, dx=0.001) / 0.299
+
+
+def joint_angle_error(ang_pred: jnp.ndarray, ang_gt: jnp.ndarray) -> jnp.ndarray:
+    """Mean L2 error in angle space (h36m/utils/utils_mixer.py:55-57)."""
+    return jnp.mean(jnp.linalg.norm(ang_gt - ang_pred, axis=-1))
+
+
+def euler_error(ang_pred: jnp.ndarray, ang_gt: jnp.ndarray) -> jnp.ndarray:
+    """Euler-angle error through the full rotation-conversion chain.
+
+    Parity with reference ``euler_error`` (h36m/utils/utils_mixer.py:59-73):
+    expmap -> rotmat -> euler on predictions and targets, then mean L2 over
+    per-frame flattened euler vectors.
+    """
+    dim_full_len = ang_gt.shape[2]
+    pred = ang_pred.reshape(-1, 3)
+    targ = ang_gt.reshape(-1, 3)
+    pred_eul = rotmat2euler(expmap2rotmat(pred)).reshape(-1, dim_full_len)
+    targ_eul = rotmat2euler(expmap2rotmat(targ)).reshape(-1, dim_full_len)
+    return jnp.mean(jnp.linalg.norm(pred_eul - targ_eul, axis=1))
+
+
+def l1_angle_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Training loss for the angle path.
+
+    Parity with the inline expression at h36m/train_mixer_h36m.py:185:
+    ``mean(sum(abs(pred - gt), dim=2))`` over (B, T, D) sequences.
+    """
+    return jnp.mean(jnp.sum(jnp.abs(pred - gt), axis=2))
+
+
+def delta_2_gt(prediction: jnp.ndarray, last_timestep: jnp.ndarray) -> jnp.ndarray:
+    """Decode velocity (delta) predictions into absolute poses.
+
+    Parity with reference ``delta_2_gt`` (h36m/utils/utils_mixer.py:165-175);
+    the sequential Python accumulation is an exclusive prefix sum here:
+    ``out[t] = last + sum(pred[0..t])``.
+    """
+    return last_timestep[:, None, :] + jnp.cumsum(prediction, axis=1)

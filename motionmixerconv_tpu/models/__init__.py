@@ -1,0 +1,23 @@
+from .encoding import PoseEncoder
+from .mixer_mlp import MlpMixer, MixerBlock, MlpBlock, SELayer
+from .mixer_conv import ConvMixer, ConvMixerBlock, ConvBlock, MultiChanSELayer
+from .torch_io import (
+    convert_conv_mixer,
+    convert_mlp_mixer,
+    load_torch_state_dict,
+)
+
+__all__ = [
+    "PoseEncoder",
+    "MlpMixer",
+    "MixerBlock",
+    "MlpBlock",
+    "SELayer",
+    "ConvMixer",
+    "ConvMixerBlock",
+    "ConvBlock",
+    "MultiChanSELayer",
+    "convert_conv_mixer",
+    "convert_mlp_mixer",
+    "load_torch_state_dict",
+]

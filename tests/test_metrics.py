@@ -1,0 +1,63 @@
+"""Golden-value parity tests for losses and metrics."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from motionmixerconv_tpu.metrics import (
+    auc_pck_metric,
+    delta_2_gt,
+    euler_error,
+    joint_angle_error,
+    l1_angle_loss,
+    mpjpe_error,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _load():
+    return np.load(os.path.join(GOLDEN, "metrics.npz"))
+
+
+def test_mpjpe_error():
+    g = _load()
+    got = mpjpe_error(jnp.asarray(g["pred"]), jnp.asarray(g["gt"]))
+    np.testing.assert_allclose(got, g["mpjpe"], rtol=1e-5)
+
+
+def test_auc_pck():
+    g = _load()
+    got = auc_pck_metric(
+        jnp.asarray(g["pred"]).reshape(-1, 25, 22, 3) / 1000.0,
+        jnp.asarray(g["gt"]).reshape(-1, 25, 22, 3) / 1000.0,
+    )
+    np.testing.assert_allclose(got, g["auc"], rtol=1e-4)
+
+
+def test_euler_error():
+    g = _load()
+    got = euler_error(jnp.asarray(g["ang_pred"]), jnp.asarray(g["ang_gt"]))
+    np.testing.assert_allclose(got, g["euler"], rtol=1e-4)
+
+
+def test_joint_angle_error():
+    g = _load()
+    got = joint_angle_error(jnp.asarray(g["ang_pred"]), jnp.asarray(g["ang_gt"]))
+    np.testing.assert_allclose(got, g["joint_angle"], rtol=1e-5)
+
+
+def test_delta_2_gt():
+    g = _load()
+    got = delta_2_gt(jnp.asarray(g["delta"]), jnp.asarray(g["last"]))
+    np.testing.assert_allclose(got, g["delta_decoded"], atol=1e-5)
+
+
+def test_l1_angle_loss_matches_formula():
+    rs = np.random.RandomState(3)
+    pred = rs.randn(5, 10, 48).astype(np.float32)
+    gt = rs.randn(5, 10, 48).astype(np.float32)
+    got = l1_angle_loss(jnp.asarray(pred), jnp.asarray(gt))
+    want = np.mean(np.sum(np.abs(pred - gt), axis=2))
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -1,0 +1,149 @@
+"""Numeric parity tests: flax models vs reference torch models.
+
+Each fixture stores a torch state_dict (``sd::``-prefixed keys), an input and
+the reference's eval-mode output; the test maps the state_dict into the flax
+variable tree (models/torch_io.py) and compares forward passes.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionmixerconv_tpu.models import (
+    ConvMixer,
+    MlpMixer,
+    convert_conv_mixer,
+    convert_mlp_mixer,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _load_case(name):
+    data = np.load(os.path.join(GOLDEN, name))
+    sd = {k[4:]: data[k] for k in data.files if k.startswith("sd::")}
+    return sd, data["x"], data["out"]
+
+
+class TestMlpMixerParity:
+    def test_mpjpe_config(self):
+        sd, x, want = _load_case("model_mlp_mixer.npz")
+        model = MlpMixer(
+            num_classes=66, num_blocks=2, hidden_dim=50, tokens_mlp_dim=20,
+            channels_mlp_dim=50, seq_len=10, pred_len=25, activation="mish",
+            regularization=0.1, input_size=66, r_se=8, use_se=True,
+        )
+        variables = convert_mlp_mixer(sd, num_blocks=2)
+        got = model.apply(variables, jnp.asarray(x), training=False)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_batchnorm_config(self):
+        sd, x, want = _load_case("model_mlp_mixer_bn.npz")
+        model = MlpMixer(
+            num_classes=48, num_blocks=2, hidden_dim=60, tokens_mlp_dim=40,
+            channels_mlp_dim=60, seq_len=10, pred_len=10, activation="gelu",
+            regularization=-1.0, input_size=48, r_se=4, use_se=True,
+        )
+        variables = convert_mlp_mixer(sd, num_blocks=2)
+        got = model.apply(variables, jnp.asarray(x), training=False)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_init_and_param_count(self):
+        import jax
+
+        model = MlpMixer(
+            num_classes=66, num_blocks=2, hidden_dim=50, tokens_mlp_dim=20,
+            channels_mlp_dim=50, seq_len=10, pred_len=25, activation="mish",
+            regularization=0.1, input_size=66, r_se=8, use_se=True,
+        )
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 10, 66)))
+        sd, _, _ = _load_case("model_mlp_mixer.npz")
+        n_torch = sum(v.size for v in sd.values())
+        n_flax = sum(
+            x.size for x in jax.tree_util.tree_leaves(variables["params"])
+        )
+        assert n_flax == n_torch
+
+
+class TestConvMixerParity:
+    def test_h36m_default_config(self):
+        sd, x, want = _load_case("model_conv_mixer.npz")
+        model = ConvMixer(
+            num_blocks=2, dimPosIn=66, dimPosEmb=50, dimPosOut=66, in_nTP=10,
+            out_nTP=25, conv_nChan=1, conv1_kernel_shape=(1, 3),
+            conv1_stride=(1, 1), conv1_padding=(0, 1), mode_conv="twice",
+            activation="mish", regularization=0.1, use_se=True, r_se=8,
+            use_max_pooling=False, encoder_n_harmonic_functions=64,
+            encoder_omega0=0.1,
+        )
+        variables = convert_conv_mixer(sd, num_blocks=2)
+        got = model.apply(variables, jnp.asarray(x), training=False)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_multichannel_bn_maxpool(self):
+        sd, x, want = _load_case("model_conv_mixer_multichan.npz")
+        model = ConvMixer(
+            num_blocks=2, dimPosIn=54, dimPosEmb=32, dimPosOut=54, in_nTP=10,
+            out_nTP=5, conv_nChan=3, conv1_kernel_shape=(5, 9),
+            conv1_stride=None, conv1_padding=None, mode_conv="twice",
+            activation="gelu", regularization=-1.0, use_se=True, r_se=4,
+            use_max_pooling=True, encoder_n_harmonic_functions=8,
+            encoder_omega0=0.1,
+        )
+        variables = convert_conv_mixer(sd, num_blocks=2)
+        got = model.apply(variables, jnp.asarray(x), training=False)
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def test_mode_conv_once_quirk(self):
+        sd, x, want = _load_case("model_conv_mixer_once.npz")
+        model = ConvMixer(
+            num_blocks=2, dimPosIn=66, dimPosEmb=40, dimPosOut=66, in_nTP=10,
+            out_nTP=10, conv_nChan=2, conv1_kernel_shape=(1, 3),
+            conv1_padding=None, mode_conv="once", activation="gelu",
+            regularization=0.0, use_se=True, r_se=4,
+            encoder_n_harmonic_functions=-1,
+        )
+        variables = convert_conv_mixer(sd, num_blocks=2)
+        got = model.apply(variables, jnp.asarray(x), training=False)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_jit_forward(self):
+        import jax
+
+        sd, x, want = _load_case("model_conv_mixer.npz")
+        model = ConvMixer(
+            num_blocks=2, dimPosIn=66, dimPosEmb=50, dimPosOut=66, in_nTP=10,
+            out_nTP=25, conv_nChan=1, conv1_kernel_shape=(1, 3),
+            conv1_stride=(1, 1), conv1_padding=(0, 1), mode_conv="twice",
+            activation="mish", regularization=0.1, use_se=True, r_se=8,
+            encoder_n_harmonic_functions=64, encoder_omega0=0.1,
+        )
+        variables = convert_conv_mixer(sd, num_blocks=2)
+        fwd = jax.jit(lambda v, a: model.apply(v, a, training=False))
+        got = fwd(variables, jnp.asarray(x))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_dropout_active_in_training_mode():
+    import jax
+
+    model = MlpMixer(
+        num_classes=66, num_blocks=1, hidden_dim=50, tokens_mlp_dim=20,
+        channels_mlp_dim=50, seq_len=10, pred_len=25, activation="gelu",
+        regularization=0.5, input_size=66, use_se=True,
+    )
+    x = jnp.ones((2, 10, 66))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out1 = model.apply(
+        variables, x, training=True, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    out2 = model.apply(
+        variables, x, training=True, rngs={"dropout": jax.random.PRNGKey(2)}
+    )
+    assert not np.allclose(out1, out2)
+    # eval mode is deterministic
+    e1 = model.apply(variables, x, training=False)
+    e2 = model.apply(variables, x, training=False)
+    np.testing.assert_array_equal(e1, e2)

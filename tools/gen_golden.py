@@ -124,6 +124,38 @@ def golden_ang2joint():
     print("ang2joint.npz written")
 
 
+def golden_metrics():
+    sys.path.insert(0, os.path.join(REFERENCE))
+    from h36m.utils import utils_mixer as ref_m
+
+    rs = _seeded(5)
+    pred = rs.randn(8, 25, 66).astype(np.float32) * 100.0
+    gt = pred + rs.randn(8, 25, 66).astype(np.float32) * 30.0
+    pred_t, gt_t = torch.from_numpy(pred), torch.from_numpy(gt)
+
+    mpjpe = ref_m.mpjpe_error(pred_t, gt_t).item()
+    auc = ref_m.auc_pck_metric(
+        pred_t.view(-1, 25, 22, 3) / 1000.0, gt_t.view(-1, 25, 22, 3) / 1000.0
+    ).item()
+
+    ang_pred = rs.randn(4, 25, 99).astype(np.float32) * 0.5
+    ang_gt = ang_pred + rs.randn(4, 25, 99).astype(np.float32) * 0.1
+    eul = ref_m.euler_error(torch.from_numpy(ang_pred), torch.from_numpy(ang_gt)).item()
+    ja = ref_m.joint_angle_error(torch.from_numpy(ang_pred), torch.from_numpy(ang_gt)).item()
+
+    delta = rs.randn(3, 25, 66).astype(np.float32)
+    last = rs.randn(3, 66).astype(np.float32)
+    dec = ref_m.delta_2_gt(torch.from_numpy(delta).clone(), torch.from_numpy(last))
+
+    np.savez(
+        os.path.join(OUT_DIR, "metrics.npz"),
+        pred=pred, gt=gt, mpjpe=mpjpe, auc=auc,
+        ang_pred=ang_pred, ang_gt=ang_gt, euler=eul, joint_angle=ja,
+        delta=delta, last=last, delta_decoded=dec.numpy(),
+    )
+    print("metrics.npz written")
+
+
 def golden_find_indices():
     i256 = ref_du.find_indices_256(1500, 1700, 35, input_n=10)
     isrnn = ref_du.find_indices_srnn(1500, 1700, 35, input_n=10)
@@ -134,8 +166,95 @@ def golden_find_indices():
     print("find_indices.npz written")
 
 
+def _save_model_case(name, model, x, extra=None):
+    model.eval()
+    with torch.no_grad():
+        out = model(x)
+    arrays = {f"sd::{k}": v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    arrays["x"] = x.numpy()
+    arrays["out"] = out.numpy()
+    if extra:
+        arrays.update(extra)
+    np.savez(os.path.join(OUT_DIR, name), **arrays)
+    print(name, "written")
+
+
+def golden_models():
+    sys.path.insert(0, os.path.join(REFERENCE, "conv_mixer"))
+    from h36m.mlp_mixer import MlpMixer as RefMlpMixer
+    from h36m.conv_mixer_model import ConvMixer as RefConvMixer
+
+    rs = _seeded(21)
+
+    # --- MlpMixer, h36m mpjpe-ish config (mish, dropout inactive in eval) ---
+    torch.manual_seed(0)
+    m = RefMlpMixer(
+        num_classes=66, num_blocks=2, hidden_dim=50, tokens_mlp_dim=20,
+        channels_mlp_dim=50, seq_len=10, pred_len=25, activation="mish",
+        regularization=0.1, input_size=66, r_se=8, use_se=True,
+    )
+    x = torch.from_numpy(rs.randn(4, 10, 66).astype(np.float32))
+    _save_model_case("model_mlp_mixer.npz", m, x)
+
+    # --- MlpMixer with BatchNorm regularization (-1), gelu ---
+    torch.manual_seed(1)
+    m = RefMlpMixer(
+        num_classes=48, num_blocks=2, hidden_dim=60, tokens_mlp_dim=40,
+        channels_mlp_dim=60, seq_len=10, pred_len=10, activation="gelu",
+        regularization=-1.0, input_size=48, r_se=4, use_se=True,
+    )
+    x = torch.from_numpy(rs.randn(4, 10, 48).astype(np.float32))
+    m.train()
+    with torch.no_grad():
+        m(x)  # populate BN running stats
+    _save_model_case("model_mlp_mixer_bn.npz", m, x)
+
+    # --- ConvMixer, h36m defaults (k=(1,3), pad (0,1), 1 chan, SE) ---
+    torch.manual_seed(2)
+    m = RefConvMixer(
+        num_blocks=2, dimPosIn=66, dimPosEmb=50, dimPosOut=66, in_nTP=10,
+        out_nTP=25, conv_nChan=1, conv1_kernel_shape=(1, 3),
+        conv1_stride=(1, 1), conv1_padding=(0, 1), mode_conv="twice",
+        activation="mish", regularization=0.1, use_se=True, r_se=8,
+        use_max_pooling=False, encoder_n_harmonic_functions=64,
+        encoder_omega0=0.1,
+    )
+    x = torch.from_numpy((rs.randn(4, 10, 66) * 0.5).astype(np.float32))
+    _save_model_case("model_conv_mixer.npz", m, x)
+
+    # --- ConvMixer, multi-channel 2D kernel + BN + max pooling ---
+    torch.manual_seed(3)
+    m = RefConvMixer(
+        num_blocks=2, dimPosIn=54, dimPosEmb=32, dimPosOut=54, in_nTP=10,
+        out_nTP=5, conv_nChan=3, conv1_kernel_shape=(5, 9),
+        conv1_stride=None, conv1_padding=None, mode_conv="twice",
+        activation="gelu", regularization=-1.0, use_se=True, r_se=4,
+        use_max_pooling=True, encoder_n_harmonic_functions=8,
+        encoder_omega0=0.1,
+    )
+    x = torch.from_numpy((rs.randn(4, 10, 54) * 0.5).astype(np.float32))
+    m.train()
+    with torch.no_grad():
+        m(x)
+    _save_model_case("model_conv_mixer_multichan.npz", m, x)
+
+    # --- ConvMixer, mode_conv='once' quirk ---
+    torch.manual_seed(4)
+    m = RefConvMixer(
+        num_blocks=2, dimPosIn=66, dimPosEmb=40, dimPosOut=66, in_nTP=10,
+        out_nTP=10, conv_nChan=2, conv1_kernel_shape=(1, 3),
+        conv1_padding=None, mode_conv="once", activation="gelu",
+        regularization=0.0, use_se=True, r_se=4,
+        encoder_n_harmonic_functions=-1,
+    )
+    x = torch.from_numpy((rs.randn(4, 10, 66) * 0.5).astype(np.float32))
+    _save_model_case("model_conv_mixer_once.npz", m, x)
+
+
 if __name__ == "__main__":
     golden_rotations()
     golden_fkl()
     golden_ang2joint()
+    golden_metrics()
     golden_find_indices()
+    golden_models()
