@@ -1,0 +1,28 @@
+from . import constants
+from .windows import (
+    WindowedCorpus,
+    batch_starts,
+    find_indices_256,
+    find_indices_srnn,
+    gather_windows,
+)
+from .h36m import H36MDataset, read_csv_floats
+from .amass import AMASSDataset
+from .ais import AISDataset, canonicalize_frames, ewm_mean
+from . import fixtures
+
+__all__ = [
+    "constants",
+    "WindowedCorpus",
+    "batch_starts",
+    "find_indices_256",
+    "find_indices_srnn",
+    "gather_windows",
+    "H36MDataset",
+    "read_csv_floats",
+    "AMASSDataset",
+    "AISDataset",
+    "canonicalize_frames",
+    "ewm_mean",
+    "fixtures",
+]

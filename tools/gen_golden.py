@@ -251,6 +251,62 @@ def golden_models():
     _save_model_case("model_conv_mixer_once.npz", m, x)
 
 
+def golden_datasets():
+    """Run the reference dataset classes over synthetic corpora."""
+    import tempfile
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
+    from motionmixerconv_tpu.data import fixtures
+
+    # --- H36M (xyz + angle), train and test splits ---
+    with tempfile.TemporaryDirectory() as td:
+        fixtures.make_h36m_corpus(td, actions=["walking", "eating"], n_frames=400, seed=123)
+        from h36m.datasets.dataset_h36m import H36M_Dataset
+        from h36m.datasets.dataset_h36m_ang import H36M_Dataset_Angle
+
+        arrays = {}
+        for split in (0, 1, 2):
+            ds = H36M_Dataset(td, 10, 25, 5, actions=["walking", "eating"], split=split)
+            idxs = [0, 1, len(ds) // 2, len(ds) - 1]
+            arrays[f"xyz{split}_len"] = np.int64(len(ds))
+            arrays[f"xyz{split}_idxs"] = np.array(idxs)
+            arrays[f"xyz{split}_items"] = np.stack([np.asarray(ds[i]) for i in idxs])
+            if split == 0:
+                arrays["xyz_dims_to_use"] = ds.dimensions_to_use
+            dsa = H36M_Dataset_Angle(td, 10, 25, 5, actions=["walking", "eating"], split=split)
+            aidxs = [0, 1, len(dsa) // 2, len(dsa) - 1]
+            arrays[f"ang{split}_len"] = np.int64(len(dsa))
+            arrays[f"ang{split}_idxs"] = np.array(aidxs)
+            arrays[f"ang{split}_items"] = np.stack([np.asarray(dsa[i]) for i in aidxs])
+        np.savez(os.path.join(OUT_DIR, "dataset_h36m.npz"), **arrays)
+        print("dataset_h36m.npz written")
+
+    # --- AIS (with a couple of failed frames) ---
+    with tempfile.TemporaryDirectory() as td:
+        fixtures.make_ais_corpus(
+            td, actions=["actA", "actB"], n_frames=120, fail_frames=(7, 30), seed=5
+        )
+        import pandas as pd
+
+        # reference passes the removed-in-pandas-2 `axis=0` kwarg (was default)
+        _orig_ewm = pd.DataFrame.ewm
+        pd.DataFrame.ewm = lambda self, *a, axis=0, **k: _orig_ewm(self, *a, **k)
+
+        from conv_mixer.datasets.dataset_ais_xyz import DatasetAISxyz
+
+        ds = DatasetAISxyz(td, 10, 10, 2, ["actA", "actB"], smoothing_alpha=0.15)
+        idxs = [0, 1, len(ds) // 2, len(ds) - 1]
+        np.savez(
+            os.path.join(OUT_DIR, "dataset_ais.npz"),
+            length=np.int64(len(ds)),
+            idxs=np.array(idxs),
+            items=np.stack([np.asarray(ds[i]) for i in idxs]),
+            actA=ds.action_data["actA"].numpy(),
+        )
+        print("dataset_ais.npz written")
+
+
 if __name__ == "__main__":
     golden_rotations()
     golden_fkl()
@@ -258,3 +314,4 @@ if __name__ == "__main__":
     golden_metrics()
     golden_find_indices()
     golden_models()
+    golden_datasets()
