@@ -1,0 +1,15 @@
+from .optim import make_optimizer, multistep_schedule
+from .state import TrainState, save_checkpoint, restore_checkpoint
+from .loop import Trainer
+from .autoregressive import autoregressive_rollout, rollout_starts
+
+__all__ = [
+    "make_optimizer",
+    "multistep_schedule",
+    "TrainState",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "Trainer",
+    "autoregressive_rollout",
+    "rollout_starts",
+]

@@ -1,0 +1,130 @@
+"""Autoregressive sliding-window rollout, TPU-first.
+
+Reference semantics (h36m/train_autoreg_mixer_h36m.py:195-258): a model
+trained on (input_n_model -> output_n_model) windows is rolled over a longer
+(input_n_dataset + output_n_dataset) sequence in ``step_window`` strides; the
+per-step losses are summed (normalised by output_n_dataset // step_window)
+and a single backward runs through the whole rollout.
+
+TPU mapping:
+- teacher forcing: every step's input comes from ground truth, so steps are
+  *independent* — all rollout windows are folded into the batch axis and run
+  as ONE forward (the reference's sequential loop is S× slower for no reason).
+- closed loop: the carried window makes steps sequential -> ``jax.lax.scan``
+  with the (B, input_n_model, D) window as carry; gradients flow through the
+  scan exactly like the reference's single backward through the Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rollout_starts(
+    input_n_dataset: int, output_n_dataset: int, input_n_model: int,
+    output_n_model: int, step_window: int,
+) -> np.ndarray:
+    """Window start offsets of the rollout (train_autoreg_mixer_h36m.py:218-222)."""
+    if output_n_dataset % step_window != 0:
+        raise ValueError("output_n_dataset does not divide by step_window")
+    if output_n_dataset // step_window < 1:
+        raise ValueError("output_n_dataset is smaller than step_window")
+    hi = input_n_dataset + output_n_dataset - input_n_model - output_n_model + 1
+    return np.arange(0, hi, step_window)
+
+
+def autoregressive_rollout(
+    apply_fn,
+    full_sequence: jnp.ndarray,
+    *,
+    input_n_model: int,
+    output_n_model: int,
+    step_window: int,
+    teacher_forcing: bool,
+    loss_per_sample,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the rollout and return (per_sample_loss, full_prediction).
+
+    Args:
+        apply_fn: function (B, input_n_model, D) -> (B, output_n_model, D)
+            (the model forward with variables already bound).
+        full_sequence: (B, input_n_dataset + output_n_dataset, D) in
+            dim_used space.
+        loss_per_sample: fn (pred, gt) -> (B,) per-sample loss.
+    Returns:
+        per_sample_loss: (B,) summed step losses / (output_n_dataset // step_window)
+            — matching the reference normalisation (:258).
+        full_sequence_predict: (B, n_steps * output_n_model, D) stitched
+            predictions (the reference writes each step's output_n_model
+            frames at end_frame_train - input_n_model).
+    """
+    b, total_len, d = full_sequence.shape
+    # rollout geometry: the reference assumes input_n_dataset == input_n_model
+    # in its prediction-buffer indexing (:238); same assumption here.
+    starts = rollout_starts(
+        input_n_model, total_len - input_n_model, input_n_model,
+        output_n_model, step_window,
+    )
+    n_steps = len(starts)
+    n_norm = (total_len - input_n_model) // step_window
+
+    # per-step ground-truth targets: (S, B, output_n_model, D)
+    gt_steps = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(
+                full_sequence, int(s) + input_n_model, output_n_model, axis=1
+            )
+            for s in starts
+        ]
+    )
+
+    if teacher_forcing:
+        # independent steps -> fold into the batch axis, one big forward.
+        in_steps = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(
+                    full_sequence, int(s), input_n_model, axis=1
+                )
+                for s in starts
+            ]
+        )  # (S, B, in_m, D)
+        preds = apply_fn(in_steps.reshape(n_steps * b, input_n_model, d))
+        preds = preds.reshape(n_steps, b, output_n_model, d)
+        per_step = jnp.stack(
+            [loss_per_sample(preds[s], gt_steps[s]) for s in range(n_steps)]
+        )  # (S, B)
+        per_sample = jnp.sum(per_step, axis=0) / n_norm
+        # stitch with the reference's overwrite semantics (:238-239): step s
+        # writes its output_n_model frames at offset starts[s]; overlapping
+        # writes resolve to the later step.
+        full_predict = jnp.zeros((b, total_len - input_n_model, d), full_sequence.dtype)
+        for s in range(n_steps):
+            full_predict = jax.lax.dynamic_update_slice_in_dim(
+                full_predict, preds[s], int(starts[s]), axis=1
+            )
+        return per_sample, full_predict
+
+    # closed loop: carry the input window through a scan.
+    if input_n_model - step_window + output_n_model != input_n_model:
+        raise ValueError(
+            "closed-loop rollout requires output_n_model == step_window "
+            "(the reference feedback concat keeps the window length fixed, "
+            "train_autoreg_mixer_h36m.py:241-253)"
+        )
+    window0 = full_sequence[:, :input_n_model]
+
+    def step(window, gt):
+        pred = apply_fn(window)
+        loss = loss_per_sample(pred, gt)
+        reused = window[:, step_window:]  # last (in_m - step) frames
+        new_window = jnp.concatenate([reused, pred], axis=1)
+        return new_window, (loss, pred)
+
+    _, (losses, preds) = jax.lax.scan(step, window0, gt_steps)
+    per_sample = jnp.sum(losses, axis=0) / n_norm
+    full_predict = jnp.moveaxis(preds, 0, 1).reshape(b, n_steps * output_n_model, d)
+    return per_sample, full_predict

@@ -1,0 +1,372 @@
+"""Jitted train/eval steps and the epoch driver, TPU-first.
+
+One ``jax.jit``-compiled function per phase (train step, val step, test step):
+window gather, dim selection, scaling, forward, loss, backward and optimizer
+update all fuse into a single XLA program per step; the corpus array never
+leaves the device and no per-step host transfer happens except the scalar
+metric accumulation at epoch end.
+
+Batch padding: the reference's final ragged DataLoader batch is reproduced
+with weight-0 padding rows (data/windows.py:batch_starts), and every loss /
+metric here is computed per-sample then weight-averaged, which makes padded
+results bit-equivalent to ragged-batch averages.
+
+Reference call-stack parity: h36m/train_mixer_h36m.py:47-279 (train),
+:282-417 (test_mpjpe), :420-469 (test_angle).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.constants import (
+    H36M_INDEX_TO_EQUAL_EVAL,
+    H36M_INDEX_TO_IGNORE_EVAL,
+)
+from ..data.windows import WindowedCorpus, batch_starts, gather_windows
+from ..metrics.metrics import delta_2_gt
+from ..geometry.rotations import expmap2rotmat, rotmat2euler
+from .state import TrainState
+
+
+def _per_sample_mpjpe(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, D) -> (B,): mean joint L2, D a multiple of 3."""
+    b = pred.shape[0]
+    diff = (gt - pred).reshape(b, -1, 3)
+    return jnp.mean(jnp.linalg.norm(diff, axis=-1), axis=-1)
+
+
+def _per_sample_l1_angle(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, D) -> (B,): mean over T of sum-abs over D (train loss, angle)."""
+    return jnp.mean(jnp.sum(jnp.abs(pred - gt), axis=2), axis=1)
+
+
+def _per_sample_euler(pred_ang: jnp.ndarray, gt_ang: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, D) expmap -> (B,): mean over T of the D-dim euler-diff norm."""
+    b, t, d = pred_ang.shape
+    pe = rotmat2euler(expmap2rotmat(pred_ang.reshape(-1, 3))).reshape(b, t, d)
+    te = rotmat2euler(expmap2rotmat(gt_ang.reshape(-1, 3))).reshape(b, t, d)
+    return jnp.mean(jnp.linalg.norm(pe - te, axis=-1), axis=-1)
+
+
+def _per_sample_joint_angle(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.linalg.norm(gt - pred, axis=-1), axis=-1)
+
+
+def _per_sample_auc_pck(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, J, 3) -> (B,): per-sample AUC of PCK over thresholds .001..0.3."""
+    dist = jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=-1))  # (B, T, J)
+    threshs = jnp.arange(0.001, 0.3, 0.001, dtype=pred.dtype)  # (299,)
+    ok = dist[..., None] <= threshs  # (B, T, J, 299)
+    curves = jnp.mean(ok.astype(pred.dtype), axis=(1, 2))  # (B, 299)
+    return jnp.trapezoid(curves, dx=0.001, axis=-1) / 0.299
+
+
+def _wmean(per_sample: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _make_delta(seq_all: jnp.ndarray) -> jnp.ndarray:
+    """Frame deltas with the reference's duplicated first step.
+
+    Parity with test_mixer_h36m.py:64-72 / train_mixer_h36m.py:151-161: the
+    delta list starts with (x1 - x0) and then appends (x_{i+1} - x_i) for all
+    i, so delta[0] == delta[1] == x1 - x0.
+    """
+    d = seq_all[:, 1:] - seq_all[:, :-1]
+    return jnp.concatenate([d[:, :1], d], axis=1)
+
+
+class Trainer:
+    """Direct (non-autoregressive) trainer for one model + corpus family.
+
+    Args:
+        model: flax module mapping (B, input_n, len(dim_used)) ->
+            (B, output_n, len(dim_used)).
+        optimizer: optax transformation (see train/optim.py).
+        loss_type: 'mpjpe' | 'angle'.
+        dim_used: indices into the corpus feature axis fed to the model.
+        input_n / output_n: window split.
+        input_scale: multiplier on model input (1/1000 for H36M xyz, which is
+            in mm; 1.0 for AIS/AMASS, train_mixer_h36m.py:179).
+        loss_scale: multiplier on the train loss (1000 for AMASS meters ->
+            mm, train_mixer_amass.py:92).
+        delta_x: velocity mode — model consumes frame deltas and predictions
+            are decoded with a prefix sum (test_mixer_h36m.py:64-74).
+        mesh: optional jax.sharding.Mesh with a 'data' axis for data-parallel
+            execution; params are replicated, batches sharded.
+    """
+
+    def __init__(
+        self,
+        model,
+        optimizer: optax.GradientTransformation,
+        *,
+        loss_type: str,
+        dim_used: np.ndarray,
+        input_n: int,
+        output_n: int,
+        input_scale: float = 1.0,
+        loss_scale: float = 1.0,
+        delta_x: bool = False,
+        mesh=None,
+    ):
+        if loss_type not in ("mpjpe", "angle"):
+            raise ValueError(f"unknown loss_type {loss_type}")
+        self.model = model
+        self.optimizer = optimizer
+        self.loss_type = loss_type
+        self.dim_used = np.asarray(dim_used)
+        self.input_n = input_n
+        self.output_n = output_n
+        self.input_scale = input_scale
+        self.loss_scale = loss_scale
+        self.delta_x = delta_x
+        self.mesh = mesh
+        self._batch_sharding = None
+        self._replicated = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self._replicated = NamedSharding(mesh, P())
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._val_step = jax.jit(self._val_step_impl)
+        self._test_h36m_xyz = jax.jit(self._test_h36m_xyz_impl)
+        self._test_h36m_angle = jax.jit(self._test_h36m_angle_impl)
+        self._test_simple = jax.jit(self._test_simple_impl)
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, rng: jax.Array, sample_dim: Optional[int] = None) -> TrainState:
+        d = sample_dim if sample_dim is not None else len(self.dim_used)
+        init_rng, state_rng = jax.random.split(rng)
+        variables = self.model.init(
+            init_rng, jnp.zeros((2, self.input_n, d), jnp.float32), training=False
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.optimizer.init(params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            rng=state_rng,
+        )
+        if self._replicated is not None:
+            state = jax.device_put(state, self._replicated)
+        return state
+
+    # ------------------------------------------------------------- data prep
+
+    def _prepare(self, batch: jnp.ndarray):
+        """Slice (B, L, D_full) into model input and dim_used ground truth."""
+        seq = jnp.take(batch, jnp.asarray(self.dim_used), axis=2)
+        seq_in = seq[:, : self.input_n]
+        seq_gt = seq[:, self.input_n : self.input_n + self.output_n]
+        if self.delta_x:
+            delta = _make_delta(
+                jnp.concatenate([seq_in, seq_gt], axis=1)
+            )
+            model_in = delta[:, : self.input_n]
+            last = seq_in[:, -1, :]
+            return model_in, seq_gt, last
+        return seq_in * self.input_scale, seq_gt, None
+
+    def _forward(self, variables, model_in, training, rng=None, mutable=False):
+        kwargs = {}
+        if training and rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        if mutable:
+            return self.model.apply(
+                variables, model_in, training=training, mutable=["batch_stats"], **kwargs
+            )
+        return self.model.apply(variables, model_in, training=training, **kwargs), None
+
+    # ------------------------------------------------------------ train step
+
+    def _train_step_impl(self, state: TrainState, frames, starts, w):
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        model_in, seq_gt, last = self._prepare(batch)
+        rng, new_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            if state.batch_stats:
+                pred, updates = self.model.apply(
+                    variables, model_in, training=True,
+                    rngs={"dropout": rng}, mutable=["batch_stats"],
+                )
+            else:
+                pred = self.model.apply(
+                    variables, model_in, training=True, rngs={"dropout": rng}
+                )
+                updates = {}
+            if self.delta_x:
+                pred = delta_2_gt(pred, last)
+            if self.loss_type == "mpjpe":
+                per = _per_sample_mpjpe(pred, seq_gt)
+            else:
+                per = _per_sample_l1_angle(pred, seq_gt)
+            loss = _wmean(per, w) * self.loss_scale
+            new_bs = updates.get("batch_stats", state.batch_stats)
+            return loss, new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            rng=new_rng,
+        )
+        return new_state, loss
+
+    # -------------------------------------------------------------- val step
+
+    def _val_step_impl(self, variables, frames, starts, w):
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        model_in, seq_gt, last = self._prepare(batch)
+        pred, _ = self._forward(variables, model_in, training=False)
+        if self.delta_x:
+            pred = delta_2_gt(pred, last)
+        if self.loss_type == "mpjpe":
+            per = _per_sample_mpjpe(pred, seq_gt) * self.loss_scale
+        else:
+            # reference val for 'angle' is euler error on the full frame
+            # (train_mixer_h36m.py:240-244)
+            full_gt = batch[:, self.input_n : self.input_n + self.output_n]
+            all_joints = full_gt.at[:, :, jnp.asarray(self.dim_used)].set(pred)
+            per = _per_sample_euler(all_joints, full_gt)
+        return jnp.sum(per * w), jnp.sum(w)
+
+    # ---------------------------------------------------- h36m xyz test step
+
+    def _test_h36m_xyz_impl(self, variables, frames, starts, w):
+        """Full-skeleton 32-joint MPJPE + 22-joint AUC-PCK.
+
+        Parity: train_mixer_h36m.py:324-397 — prediction re-inserted into the
+        96-dim skeleton, then duplicate joints overwritten from their 'equal'
+        source joints.
+        """
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        model_in, seq_gt, last = self._prepare(batch)
+        pred, _ = self._forward(variables, model_in, training=False)
+        if self.delta_x:
+            pred = delta_2_gt(pred, last)
+
+        full_gt = batch[:, self.input_n : self.input_n + self.output_n]
+        dim_used = jnp.asarray(self.dim_used)
+        ignore = jnp.asarray(H36M_INDEX_TO_IGNORE_EVAL)
+        equal = jnp.asarray(H36M_INDEX_TO_EQUAL_EVAL)
+
+        all_seq = full_gt.at[:, :, dim_used].set(pred)
+        all_seq = all_seq.at[:, :, ignore].set(all_seq[:, :, equal])
+        all_gt = full_gt.at[:, :, ignore].set(full_gt[:, :, equal])
+
+        b = all_seq.shape[0]
+        per_mpjpe = _per_sample_mpjpe(
+            all_seq.reshape(b, self.output_n, 32, 3),
+            all_gt.reshape(b, self.output_n, 32, 3),
+        )
+        per_auc = _per_sample_auc_pck(
+            pred.reshape(b, self.output_n, -1, 3) / 1000.0,
+            seq_gt.reshape(b, self.output_n, -1, 3) / 1000.0,
+        )
+        return jnp.sum(per_mpjpe * w), jnp.sum(per_auc * w), jnp.sum(w)
+
+    # -------------------------------------------------- h36m angle test step
+
+    def _test_h36m_angle_impl(self, variables, frames, starts, w):
+        """Euler + joint-angle error on the re-inserted full 99-dim frame.
+
+        Parity: train_mixer_h36m.py:445-463.
+        """
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        model_in, seq_gt, last = self._prepare(batch)
+        pred, _ = self._forward(variables, model_in, training=False)
+
+        full_gt = batch[:, self.input_n : self.input_n + self.output_n]
+        all_seq = full_gt.at[:, :, jnp.asarray(self.dim_used)].set(pred)
+        per_euler = _per_sample_euler(all_seq, full_gt)
+        per_ja = _per_sample_joint_angle(all_seq, full_gt)
+        return jnp.sum(per_euler * w), jnp.sum(per_ja * w), jnp.sum(w)
+
+    # ------------------------------------------------------ simple test step
+
+    def _test_simple_impl(self, variables, frames, starts, w):
+        """dim_used-space MPJPE + AUC-PCK (AIS-style, train_mixer_ais.py:340-357)."""
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        model_in, seq_gt, last = self._prepare(batch)
+        pred, _ = self._forward(variables, model_in, training=False)
+        if self.delta_x:
+            pred = delta_2_gt(pred, last)
+        b = pred.shape[0]
+        per_mpjpe = _per_sample_mpjpe(pred, seq_gt) * self.loss_scale
+        per_auc = _per_sample_auc_pck(
+            pred.reshape(b, self.output_n, -1, 3),
+            seq_gt.reshape(b, self.output_n, -1, 3),
+        )
+        return jnp.sum(per_mpjpe * w), jnp.sum(per_auc * w), jnp.sum(w)
+
+    # ------------------------------------------------------------ epoch APIs
+
+    def _put_batch(self, starts, w):
+        starts = jnp.asarray(starts)
+        w = jnp.asarray(w)
+        if self._batch_sharding is not None:
+            starts = jax.device_put(starts, self._batch_sharding)
+            w = jax.device_put(w, self._batch_sharding)
+        return starts, w
+
+    def train_epoch(
+        self, state: TrainState, corpus: WindowedCorpus, frames, batch_size: int, seed: int
+    ) -> tuple[TrainState, float]:
+        total, n = 0.0, 0
+        for starts, w in batch_starts(corpus, batch_size, shuffle=True, seed=seed):
+            starts, w = self._put_batch(starts, w)
+            k = int(np.sum(np.asarray(w) > 0))
+            state, loss = self._train_step(state, frames, starts, w)
+            total += float(loss) * k
+            n += k
+        return state, total / max(n, 1)
+
+    def evaluate(
+        self, state: TrainState, corpus: WindowedCorpus, frames, batch_size: int,
+        kind: str = "val",
+    ):
+        """kind: 'val' -> scalar loss; 'h36m_xyz'/'h36m_angle'/'simple' ->
+        (metric1, metric2) per the matching test step."""
+        fns = {
+            "val": self._val_step,
+            "h36m_xyz": self._test_h36m_xyz,
+            "h36m_angle": self._test_h36m_angle,
+            "simple": self._test_simple,
+        }
+        fn = fns[kind]
+        sums = None
+        for starts, w in batch_starts(corpus, batch_size, shuffle=False):
+            starts, w = self._put_batch(starts, w)
+            out = fn(state.variables(), frames, starts, w)
+            out = [float(x) for x in out]
+            sums = out if sums is None else [a + b for a, b in zip(sums, out)]
+        if kind == "val":
+            return sums[0] / max(sums[1], 1.0)
+        return sums[0] / max(sums[-1], 1.0), sums[1] / max(sums[-1], 1.0)

@@ -1,0 +1,50 @@
+"""Train state pytree and checkpointing.
+
+Unlike the reference — which saves only ``model.state_dict()`` per epoch and
+cannot actually resume (SURVEY.md §5: the ``--load_checkpoint`` flag is never
+read) — the checkpoint here is the full ``{params, batch_stats, opt_state,
+epoch, rng}`` pytree, so mid-training resume is exact.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import serialization, struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any  # {} when the model has no BatchNorm
+    opt_state: Any
+    rng: jax.Array
+
+    def variables(self) -> dict:
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def save_checkpoint(path: str, state: TrainState, epoch: int) -> None:
+    """Serialize the full train state (msgpack for arrays + meta pickle)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "state": serialization.to_bytes(jax.device_get(state)),
+        "epoch": epoch,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def restore_checkpoint(path: str, template: TrainState) -> tuple[TrainState, int]:
+    """Restore into a template state (built with the same model/optimizer)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    state = serialization.from_bytes(template, payload["state"])
+    return state, int(payload["epoch"])

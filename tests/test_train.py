@@ -1,0 +1,180 @@
+"""End-to-end training tests: optimization, eval parity, checkpointing,
+autoregressive rollout parity, and data-parallel equivalence."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionmixerconv_tpu.data import H36MDataset, fixtures
+from motionmixerconv_tpu.data.constants import H36M_DIM_USED_XYZ
+from motionmixerconv_tpu.models import ConvMixer, MlpMixer, convert_conv_mixer
+from motionmixerconv_tpu.train import (
+    Trainer,
+    autoregressive_rollout,
+    make_optimizer,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from motionmixerconv_tpu.train.loop import _per_sample_mpjpe
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="module")
+def h36m_dir(tmp_path_factory):
+    td = tmp_path_factory.mktemp("h36m_train")
+    fixtures.make_h36m_corpus(str(td), actions=["walking"], n_frames=400, seed=7)
+    return str(td)
+
+
+def _small_model():
+    return MlpMixer(
+        num_classes=66, num_blocks=2, hidden_dim=32, tokens_mlp_dim=16,
+        channels_mlp_dim=32, seq_len=10, pred_len=10, activation="gelu",
+        regularization=0.1, input_size=66, r_se=4, use_se=True,
+    )
+
+
+def _trainer(mesh=None, steps_per_epoch=10):
+    opt = make_optimizer(
+        lr=1e-3, use_scheduler=True, milestones=[15, 25], gamma=0.1,
+        steps_per_epoch=steps_per_epoch,
+    )
+    return Trainer(
+        _small_model(), opt, loss_type="mpjpe", dim_used=H36M_DIM_USED_XYZ,
+        input_n=10, output_n=10, input_scale=1e-3, mesh=mesh,
+    )
+
+
+class TestTrainingLoop:
+    def test_loss_decreases(self, h36m_dir):
+        ds = H36MDataset(h36m_dir, 10, 10, 5, actions=["walking"], split=0)
+        frames = jnp.asarray(ds.frames)
+        tr = _trainer()
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, first = tr.train_epoch(state, ds, frames, 32, seed=0)
+        for ep in range(4):
+            state, last = tr.train_epoch(state, ds, frames, 32, seed=ep + 1)
+        assert last < first
+
+    def test_val_and_test_metrics_run(self, h36m_dir):
+        ds = H36MDataset(h36m_dir, 10, 10, 5, actions=["walking"], split=0)
+        test_ds = H36MDataset(h36m_dir, 10, 10, 5, actions=["walking"], split=2)
+        frames = jnp.asarray(ds.frames)
+        tframes = jnp.asarray(test_ds.frames)
+        tr = _trainer()
+        state = tr.init_state(jax.random.PRNGKey(0))
+        val = tr.evaluate(state, ds, frames, 64, kind="val")
+        assert np.isfinite(val)
+        mpjpe, auc = tr.evaluate(state, test_ds, tframes, 64, kind="h36m_xyz")
+        assert np.isfinite(mpjpe) and 0.0 <= auc <= 1.0
+
+    def test_checkpoint_roundtrip(self, h36m_dir, tmp_path):
+        ds = H36MDataset(h36m_dir, 10, 10, 5, actions=["walking"], split=0)
+        frames = jnp.asarray(ds.frames)
+        tr = _trainer()
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, _ = tr.train_epoch(state, ds, frames, 32, seed=0)
+        path = str(tmp_path / "ckpt.msgpack")
+        save_checkpoint(path, state, epoch=1)
+        template = tr.init_state(jax.random.PRNGKey(1))
+        restored, epoch = restore_checkpoint(path, template)
+        assert epoch == 1
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(a, b)
+        # training continues identically from the restored state
+        s1, l1 = tr.train_epoch(state, ds, frames, 32, seed=9)
+        s2, l2 = tr.train_epoch(restored, ds, frames, 32, seed=9)
+        assert l1 == pytest.approx(l2, rel=1e-6)
+
+    def test_data_parallel_equivalence(self, h36m_dir):
+        """Sharded batches over an 8-device CPU mesh == single-device run."""
+        from motionmixerconv_tpu.parallel import make_mesh
+
+        ds = H36MDataset(h36m_dir, 10, 10, 5, actions=["walking"], split=0)
+        frames = jnp.asarray(ds.frames)
+
+        tr0 = _trainer()
+        st0 = tr0.init_state(jax.random.PRNGKey(0))
+
+        mesh = make_mesh()
+        trm = _trainer(mesh=mesh)
+        stm = trm.init_state(jax.random.PRNGKey(0))
+
+        st0, l0 = tr0.train_epoch(st0, ds, frames, 32, seed=0)
+        stm, lm = trm.train_epoch(stm, ds, frames, 32, seed=0)
+        assert l0 == pytest.approx(lm, rel=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(st0.params),
+            jax.tree_util.tree_leaves(stm.params),
+        ):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestAutoregressiveParity:
+    @pytest.fixture()
+    def setup(self):
+        data = np.load(os.path.join(GOLDEN, "autoregressive.npz"))
+        sd = {k[4:]: data[k] for k in data.files if k.startswith("sd::")}
+        model = ConvMixer(
+            num_blocks=1, dimPosIn=66, dimPosEmb=30, dimPosOut=66, in_nTP=10,
+            out_nTP=5, conv_nChan=1, conv1_kernel_shape=(1, 3),
+            conv1_padding=None, mode_conv="twice", activation="gelu",
+            regularization=0.0, use_se=True, r_se=2,
+            encoder_n_harmonic_functions=8, encoder_omega0=0.1,
+        )
+        variables = convert_conv_mixer(sd, num_blocks=1)
+        apply_fn = lambda x: model.apply(variables, x, training=False)
+        batch = jnp.asarray(data["batch"])
+        seq = jnp.take(batch, jnp.asarray(data["dim_used"]), axis=2)
+        return data, apply_fn, seq
+
+    def test_teacher_forcing(self, setup):
+        data, apply_fn, seq = setup
+        per_sample, pred = autoregressive_rollout(
+            apply_fn, seq, input_n_model=10, output_n_model=5, step_window=5,
+            teacher_forcing=True, loss_per_sample=_per_sample_mpjpe,
+        )
+        np.testing.assert_allclose(jnp.mean(per_sample), data["loss_tf"][0], atol=1e-4)
+        np.testing.assert_allclose(pred, data["pred_tf"], atol=1e-4)
+
+    def test_closed_loop(self, setup):
+        data, apply_fn, seq = setup
+        per_sample, pred = autoregressive_rollout(
+            apply_fn, seq, input_n_model=10, output_n_model=5, step_window=5,
+            teacher_forcing=False, loss_per_sample=_per_sample_mpjpe,
+        )
+        np.testing.assert_allclose(jnp.mean(per_sample), data["loss_cl"][0], atol=1e-4)
+        np.testing.assert_allclose(pred, data["pred_cl"], atol=1e-4)
+
+    def test_gradients_flow_through_rollout(self, setup):
+        data, _, seq = setup
+        sd = {k[4:]: data[k] for k in data.files if k.startswith("sd::")}
+        model = ConvMixer(
+            num_blocks=1, dimPosIn=66, dimPosEmb=30, dimPosOut=66, in_nTP=10,
+            out_nTP=5, conv_nChan=1, conv1_kernel_shape=(1, 3),
+            conv1_padding=None, mode_conv="twice", activation="gelu",
+            regularization=0.0, use_se=True, r_se=2,
+            encoder_n_harmonic_functions=8, encoder_omega0=0.1,
+        )
+        variables = convert_conv_mixer(sd, num_blocks=1)
+
+        def loss_fn(params):
+            apply_fn = lambda x: model.apply({"params": params}, x, training=False)
+            per_sample, _ = autoregressive_rollout(
+                apply_fn, seq, input_n_model=10, output_n_model=5,
+                step_window=5, teacher_forcing=False,
+                loss_per_sample=_per_sample_mpjpe,
+            )
+            return jnp.mean(per_sample)
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        norms = [float(jnp.linalg.norm(g)) for g in jax.tree_util.tree_leaves(grads)]
+        assert all(np.isfinite(n) for n in norms)
+        assert any(n > 0 for n in norms)

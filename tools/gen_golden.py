@@ -251,6 +251,50 @@ def golden_models():
     _save_model_case("model_conv_mixer_once.npz", m, x)
 
 
+def golden_autoregressive():
+    """Reference rollout (TF + closed-loop) on a fixed ConvMixer."""
+    import argparse
+
+    sys.path.insert(0, os.path.join(REFERENCE, "conv_mixer"))
+    from h36m.conv_mixer_model import ConvMixer as RefConvMixer
+    from h36m.train_autoreg_mixer_h36m import autoregressive_process_batch
+
+    torch.manual_seed(9)
+    model = RefConvMixer(
+        num_blocks=1, dimPosIn=66, dimPosEmb=30, dimPosOut=66, in_nTP=10,
+        out_nTP=5, conv_nChan=1, conv1_kernel_shape=(1, 3), conv1_padding=None,
+        mode_conv="twice", activation="gelu", regularization=0.0, use_se=True,
+        r_se=2, encoder_n_harmonic_functions=8, encoder_omega0=0.1,
+    )
+    model.eval()
+    args = argparse.Namespace(
+        input_n_dataset=10, output_n_dataset=25, input_n_model=10,
+        output_n_model=5, step_window=5, loss_type="mpjpe",
+    )
+    rs = _seeded(17)
+    batch = torch.from_numpy((rs.randn(3, 35, 96) * 0.4).astype(np.float32))
+    dim_used = np.array(
+        [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 21, 22, 23, 24, 25,
+         26, 27, 28, 29, 30, 31, 32, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45,
+         46, 47, 51, 52, 53, 54, 55, 56, 57, 58, 59, 63, 64, 65, 66, 67, 68,
+         75, 76, 77, 78, 79, 80, 81, 82, 83, 87, 88, 89, 90, 91, 92])
+    with torch.no_grad():
+        loss_tf, pred_tf = autoregressive_process_batch(
+            batch.clone(), model, args, dim_used, teacher_forcing=True
+        )
+        loss_cl, pred_cl = autoregressive_process_batch(
+            batch.clone(), model, args, dim_used, teacher_forcing=False
+        )
+    arrays = {f"sd::{k}": v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    arrays.update(
+        batch=batch.numpy(), dim_used=dim_used,
+        loss_tf=loss_tf.numpy(), pred_tf=pred_tf.numpy(),
+        loss_cl=loss_cl.numpy(), pred_cl=pred_cl.numpy(),
+    )
+    np.savez(os.path.join(OUT_DIR, "autoregressive.npz"), **arrays)
+    print("autoregressive.npz written")
+
+
 def golden_datasets():
     """Run the reference dataset classes over synthetic corpora."""
     import tempfile
@@ -315,3 +359,4 @@ if __name__ == "__main__":
     golden_find_indices()
     golden_models()
     golden_datasets()
+    golden_autoregressive()
