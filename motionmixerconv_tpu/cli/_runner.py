@@ -1,0 +1,569 @@
+"""Shared training-run drivers behind the CLI entry points.
+
+Each ``run_*`` function reproduces the corresponding reference trainer's
+behaviour (epoch loop, per-epoch val+test, TensorBoard scalars, per-epoch
+checkpoint) on top of the jitted Trainer/AutoregressiveTrainer.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import AISDataset, AMASSDataset, H36MDataset
+from ..data.constants import (
+    AIS_DIM_USED,
+    AIS_TEST_ACTIONS,
+    AIS_TRAIN_ACTIONS,
+    AIS_VAL_ACTIONS,
+    H36M_DIM_USED_ANGLE,
+    H36M_DIM_USED_XYZ,
+    define_actions,
+)
+from ..logging import MetricLogger
+from ..models import ConvMixer, MlpMixer
+from ..train import Trainer, make_optimizer, save_checkpoint
+from ..train.autoreg_trainer import AutoregressiveTrainer
+
+AMASS_DIM_USED = np.arange(12, 66)  # joints 4..21 of the flat (52*3) frame
+
+
+def build_conv_mixer(args, dim_in: int, dim_out: int, in_ntp: int, out_ntp: int) -> ConvMixer:
+    """ConvMixer from CLI flags (train_mixer_h36m.py:575-595 defaults)."""
+    return ConvMixer(
+        num_blocks=args.num_blocks,
+        dimPosIn=dim_in,
+        dimPosEmb=args.hidden_dim,
+        dimPosOut=dim_out,
+        in_nTP=in_ntp,
+        out_nTP=out_ntp,
+        conv_nChan=getattr(args, "conv_nChan", 1),
+        conv1_kernel_shape=tuple(getattr(args, "conv1_kernel_shape", (1, 3))),
+        conv1_stride=(1, 1),
+        conv1_padding=None,
+        mode_conv=getattr(args, "mode_conv", "twice"),
+        activation=args.activation,
+        regularization=args.regularization,
+        use_se=True,
+        r_se=args.r_se,
+        use_max_pooling=False,
+        encoder_n_harmonic_functions=getattr(args, "encoder_n_harmonic_functions", 64),
+        encoder_omega0=getattr(args, "encoder_omega0", 0.1),
+    )
+
+
+def build_mlp_mixer(args, dim: int, in_ntp: int, out_ntp: int) -> MlpMixer:
+    """MlpMixer from CLI flags (amass/train_mixer_amass.py:250-258 defaults)."""
+    return MlpMixer(
+        num_classes=dim,
+        num_blocks=args.num_blocks,
+        hidden_dim=args.hidden_dim,
+        tokens_mlp_dim=args.tokens_mlp_dim,
+        channels_mlp_dim=args.channels_mlp_dim,
+        seq_len=in_ntp,
+        pred_len=out_ntp,
+        activation=args.activation,
+        regularization=args.regularization,
+        input_size=dim,
+        r_se=args.r_se,
+        use_max_pooling=False,
+        use_se=True,
+    )
+
+
+def _log_dir(args, model_name: str) -> str:
+    log_dir = os.path.join(args.save_path, model_name)
+    if os.path.exists(log_dir) and os.listdir(log_dir):
+        # parity with train_mixer_h36m.py:50-55
+        raise ValueError(
+            "The directory already exists. Please, change the name of the model",
+            log_dir,
+        )
+    os.makedirs(log_dir, exist_ok=True)
+    return log_dir
+
+
+def param_count(state) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+
+
+def _steps_per_epoch(n: int, batch_size: int) -> int:
+    return max(1, (n + batch_size - 1) // batch_size)
+
+
+def run_h36m(args, model=None, model_name: Optional[str] = None):
+    """H36M direct training (train_mixer_h36m.py:47-279 + per-epoch tests)."""
+    mode = "xyz" if args.loss_type == "mpjpe" else "angle"
+    dim_used = H36M_DIM_USED_XYZ if mode == "xyz" else H36M_DIM_USED_ANGLE
+
+    dataset = H36MDataset(args.data_dir, args.input_n, args.output_n,
+                          args.skip_rate, split=0, mode=mode)
+    vald = H36MDataset(args.data_dir, args.input_n, args.output_n,
+                       args.skip_rate, split=1, mode=mode)
+    actions = define_actions(args.actions_to_consider)
+    test_sets = {
+        a: H36MDataset(args.data_dir, args.input_n, args.output_n,
+                       args.skip_rate, actions=[a], split=2, mode=mode)
+        for a in actions
+    }
+    print(f">>> Training dataset length: {len(dataset)}")
+    print(f">>> Validation dataset length: {len(vald)}")
+
+    if model is None:
+        model = build_conv_mixer(
+            args, len(dim_used), len(dim_used), args.input_n, args.output_n
+        )
+    model_name = model_name or f"h36_3d_{args.output_n}frames_ckpt"
+    log_dir = _log_dir(args, model_name)
+    logger = MetricLogger(log_dir)
+
+    opt = make_optimizer(
+        lr=args.lr, weight_decay=1e-5, use_scheduler=args.use_scheduler,
+        milestones=args.milestones, gamma=args.gamma,
+        steps_per_epoch=_steps_per_epoch(len(dataset), args.batch_size),
+        clip_grad=args.clip_grad,
+    )
+    trainer = Trainer(
+        model, opt, loss_type=args.loss_type, dim_used=dim_used,
+        input_n=args.input_n, output_n=args.output_n,
+        input_scale=1e-3 if args.loss_type == "mpjpe" else 1.0,
+        delta_x=getattr(args, "delta_x", False),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(getattr(args, "seed", 0)))
+    print(f"total number of parameters of the network is: {param_count(state)}")
+
+    frames = jnp.asarray(dataset.frames)
+    vframes = jnp.asarray(vald.frames)
+    tframes = {a: jnp.asarray(ds.frames) for a, ds in test_sets.items()}
+
+    history = {"train": [], "val": [], "test": [], "metrics": {}}
+    if args.loss_type == "mpjpe":
+        history["metrics"] = {"auc_pck": [], "mpjpe": []}
+    else:
+        history["metrics"] = {"joint_angle": [], "euler_angle": []}
+
+    test_kind = "h36m_xyz" if args.loss_type == "mpjpe" else "h36m_angle"
+    for epoch in range(args.n_epochs):
+        t0 = time.time()
+        state, train_loss = trainer.train_epoch(
+            state, dataset, frames, args.batch_size, seed=epoch
+        )
+        val_loss = trainer.evaluate(state, vald, vframes, args.batch_size, kind="val")
+
+        m1_sum = m2_sum = n_sum = 0.0
+        per_action = {}
+        for a, ds in test_sets.items():
+            m1, m2 = trainer.evaluate(
+                state, ds, tframes[a], args.batch_size_test, kind=test_kind
+            )
+            per_action[a] = (m1, m2)
+            m1_sum += m1 * len(ds)
+            m2_sum += m2 * len(ds)
+            n_sum += len(ds)
+        m1_avg, m2_avg = m1_sum / n_sum, m2_sum / n_sum
+
+        history["train"].append(train_loss)
+        history["val"].append(val_loss)
+        history["test"].append(m1_avg)
+        history["per_action"] = per_action
+        logger.add_scalar("loss/train", train_loss, epoch)
+        logger.add_scalar("loss/val", val_loss, epoch)
+        logger.add_scalar("loss/test", m1_avg, epoch)
+        if args.loss_type == "mpjpe":
+            history["metrics"]["mpjpe"].append(m1_avg)
+            history["metrics"]["auc_pck"].append(m2_avg)
+            logger.add_scalar("metrics/mpjpe", m1_avg, epoch)
+            logger.add_scalar("metrics/auc_pck", m2_avg, epoch)
+        else:
+            history["metrics"]["euler_angle"].append(m1_avg)
+            history["metrics"]["joint_angle"].append(m2_avg)
+            logger.add_scalar("metrics/euler_angle", m1_avg, epoch)
+            logger.add_scalar("metrics/joint_angle", m2_avg, epoch)
+
+        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch)
+        print(
+            f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} "
+            f"test {m1_avg:.4f} ({time.time() - t0:.1f}s)"
+        )
+
+    logger.close()
+    return history, state, trainer
+
+
+def run_h36m_autoregressive(args, model=None, model_name: Optional[str] = None):
+    """Autoregressive H36M training (train_autoreg_mixer_h36m.py:49-192)."""
+    mode = "xyz" if args.loss_type == "mpjpe" else "angle"
+    dim_used = H36M_DIM_USED_XYZ if mode == "xyz" else H36M_DIM_USED_ANGLE
+
+    dataset = H36MDataset(args.data_dir, args.input_n_dataset, args.output_n_dataset,
+                          args.skip_rate, split=0, mode=mode)
+    vald = H36MDataset(args.data_dir, args.input_n_dataset, args.output_n_dataset,
+                       args.skip_rate, split=1, mode=mode)
+    actions = define_actions(args.actions_to_consider)
+    test_sets = {
+        a: H36MDataset(args.data_dir, args.input_n_dataset, args.output_n_dataset,
+                       args.skip_rate, actions=[a], split=2, mode=mode)
+        for a in actions
+    }
+
+    if model is None:
+        model = build_conv_mixer(
+            args, len(dim_used), len(dim_used),
+            args.input_n_model, args.output_n_model,
+        )
+    model_name = model_name or f"h36_ar_{args.output_n_dataset}frames_ckpt"
+    log_dir = _log_dir(args, model_name)
+    logger = MetricLogger(log_dir)
+
+    opt = make_optimizer(
+        lr=args.lr, weight_decay=1e-5, use_scheduler=args.use_scheduler,
+        milestones=args.milestones, gamma=args.gamma,
+        steps_per_epoch=_steps_per_epoch(len(dataset), args.batch_size),
+        clip_grad=args.clip_grad,
+    )
+    trainer = AutoregressiveTrainer(
+        model, opt, loss_type=args.loss_type, dim_used=dim_used,
+        input_n=args.input_n_dataset, output_n=args.output_n_dataset,
+        input_n_model=args.input_n_model, output_n_model=args.output_n_model,
+        step_window=args.step_window,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(getattr(args, "seed", 0)))
+    print(f"total number of parameters of the network is: {param_count(state)}")
+
+    frames = jnp.asarray(dataset.frames)
+    vframes = jnp.asarray(vald.frames)
+    tframes = {a: jnp.asarray(ds.frames) for a, ds in test_sets.items()}
+
+    history = {"train": [], "val": [], "test": [], "metrics": {}}
+    if args.loss_type == "mpjpe":
+        history["metrics"] = {"auc_pck": [], "mpjpe": []}
+    else:
+        history["metrics"] = {"joint_angle": [], "euler_angle": []}
+
+    for epoch in range(args.n_epochs):
+        t0 = time.time()
+        tf = epoch < args.n_epochs_teacher_forcing
+        state, train_loss = trainer.train_epoch_ar(
+            state, dataset, frames, args.batch_size, seed=epoch, teacher_forcing=tf
+        )
+        val_loss = trainer.evaluate_ar(state, vald, vframes, args.batch_size, kind="val")
+
+        m1_sum = m2_sum = n_sum = 0.0
+        per_action = {}
+        for a, ds in test_sets.items():
+            m1, m2 = trainer.evaluate_ar(
+                state, ds, tframes[a], args.batch_size_test, kind="test"
+            )
+            per_action[a] = (m1, m2)
+            m1_sum += m1 * len(ds)
+            m2_sum += m2 * len(ds)
+            n_sum += len(ds)
+        m1_avg, m2_avg = m1_sum / n_sum, m2_sum / n_sum
+
+        history["train"].append(train_loss)
+        history["val"].append(val_loss)
+        history["test"].append(m1_avg)
+        history["per_action"] = per_action
+        logger.add_scalar("loss/train", train_loss, epoch)
+        logger.add_scalar("loss/val", val_loss, epoch)
+        logger.add_scalar("loss/test", m1_avg, epoch)
+        if args.loss_type == "mpjpe":
+            history["metrics"]["mpjpe"].append(m1_avg)
+            history["metrics"]["auc_pck"].append(m2_avg)
+            logger.add_scalar("metrics/mpjpe", m1_avg, epoch)
+            logger.add_scalar("metrics/auc_pck", m2_avg, epoch)
+        else:
+            history["metrics"]["euler_angle"].append(m1_avg)
+            history["metrics"]["joint_angle"].append(m2_avg)
+            logger.add_scalar("metrics/euler_angle", m1_avg, epoch)
+            logger.add_scalar("metrics/joint_angle", m2_avg, epoch)
+
+        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch)
+        print(
+            f"epoch {epoch}: tf={tf} train {train_loss:.4f} val {val_loss:.4f} "
+            f"test {m1_avg:.4f} ({time.time() - t0:.1f}s)"
+        )
+
+    logger.close()
+    return history, state, trainer
+
+
+def run_ais(args, model=None, model_name: Optional[str] = None):
+    """AIS direct training (train_mixer_ais.py:47-292)."""
+    dim_used = AIS_DIM_USED
+    common = dict(
+        input_n=args.input_n, output_n=args.output_n, skip_rate=args.skip_rate,
+        smoothing_alpha=getattr(args, "smoothing_alpha", 0.15),
+        canonicalize=getattr(args, "canonicalize", True),
+    )
+    dataset = AISDataset(args.data_dir, actions=AIS_TRAIN_ACTIONS, **common)
+    vald = AISDataset(args.data_dir, actions=AIS_VAL_ACTIONS, **common)
+    test_sets = {
+        a: AISDataset(args.data_dir, actions=[a], **common)
+        for a in AIS_TEST_ACTIONS
+    }
+
+    if model is None:
+        model = build_conv_mixer(
+            args, len(dim_used), len(dim_used), args.input_n, args.output_n
+        )
+    model_name = model_name or f"ais_3d_{args.output_n}frames_ckpt"
+    log_dir = _log_dir(args, model_name)
+    logger = MetricLogger(log_dir)
+
+    opt = make_optimizer(
+        lr=args.lr, weight_decay=1e-5, use_scheduler=args.use_scheduler,
+        milestones=args.milestones, gamma=args.gamma,
+        steps_per_epoch=_steps_per_epoch(len(dataset), args.batch_size),
+        clip_grad=args.clip_grad,
+    )
+    # AIS data is in meters; no input scaling, test loss reported x1000 mm
+    # (train_mixer_ais.py:193,386-388).
+    trainer = Trainer(
+        model, opt, loss_type=args.loss_type, dim_used=dim_used,
+        input_n=args.input_n, output_n=args.output_n,
+        input_scale=1.0, loss_scale=1.0,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(getattr(args, "seed", 0)))
+    print(f"total number of parameters of the network is: {param_count(state)}")
+
+    frames = jnp.asarray(dataset.frames)
+    vframes = jnp.asarray(vald.frames)
+    tframes = {a: jnp.asarray(ds.frames) for a, ds in test_sets.items()}
+
+    history = {"train": [], "val": [], "test": [], "metrics": {"auc_pck": [], "mpjpe": []}}
+    for epoch in range(args.n_epochs):
+        t0 = time.time()
+        state, train_loss = trainer.train_epoch(
+            state, dataset, frames, args.batch_size, seed=epoch
+        )
+        val_loss = trainer.evaluate(state, vald, vframes, args.batch_size, kind="val")
+        m1_sum = m2_sum = n_sum = 0.0
+        per_action = {}
+        for a, ds in test_sets.items():
+            mp, auc = trainer.evaluate(
+                state, ds, tframes[a], args.batch_size_test, kind="simple"
+            )
+            per_action[a] = (mp * 1000.0, auc)  # mm
+            m1_sum += mp * 1000.0 * len(ds)
+            m2_sum += auc * len(ds)
+            n_sum += len(ds)
+        m1_avg, m2_avg = m1_sum / n_sum, m2_sum / n_sum
+
+        history["train"].append(train_loss)
+        history["val"].append(val_loss)
+        history["test"].append(m1_avg)
+        history["per_action"] = per_action
+        history["metrics"]["mpjpe"].append(m1_avg)
+        history["metrics"]["auc_pck"].append(m2_avg)
+        logger.add_scalar("loss/train", train_loss, epoch)
+        logger.add_scalar("loss/val", val_loss, epoch)
+        logger.add_scalar("loss/test", m1_avg, epoch)
+        logger.add_scalar("metrics/mpjpe", m1_avg, epoch)
+        logger.add_scalar("metrics/auc_pck", m2_avg, epoch)
+        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch)
+        print(
+            f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} "
+            f"test {m1_avg:.2f}mm ({time.time() - t0:.1f}s)"
+        )
+
+    logger.close()
+    return history, state, trainer
+
+
+def run_ais_autoregressive(args, model=None, model_name: Optional[str] = None):
+    """AIS autoregressive training (train_autoreg_mixer_ais.py:63-203).
+
+    Test metric: 1000x rollout loss (mm) + AUC-PCK on raw meters
+    (train_autoreg_mixer_ais.py:266-268,298-300 — note the /1000 is
+    commented out there).
+    """
+    dim_used = AIS_DIM_USED
+    common = dict(
+        input_n=args.input_n_dataset, output_n=args.output_n_dataset,
+        skip_rate=args.skip_rate,
+        smoothing_alpha=getattr(args, "smoothing_alpha", 0.15),
+        canonicalize=getattr(args, "canonicalize", True),
+    )
+    dataset = AISDataset(args.data_dir, actions=AIS_TRAIN_ACTIONS, **common)
+    vald = AISDataset(args.data_dir, actions=AIS_VAL_ACTIONS, **common)
+    test_sets = {
+        a: AISDataset(args.data_dir, actions=[a], **common)
+        for a in AIS_TEST_ACTIONS
+    }
+
+    if model is None:
+        model = build_conv_mixer(
+            args, len(dim_used), len(dim_used),
+            args.input_n_model, args.output_n_model,
+        )
+    model_name = model_name or f"ais_ar_{args.output_n_dataset}frames_ckpt"
+    log_dir = _log_dir(args, model_name)
+    logger = MetricLogger(log_dir)
+
+    opt = make_optimizer(
+        lr=args.lr, weight_decay=1e-5, use_scheduler=args.use_scheduler,
+        milestones=args.milestones, gamma=args.gamma,
+        steps_per_epoch=_steps_per_epoch(len(dataset), args.batch_size),
+        clip_grad=args.clip_grad,
+    )
+    trainer = AutoregressiveTrainer(
+        model, opt, loss_type="mpjpe", dim_used=dim_used,
+        input_n=args.input_n_dataset, output_n=args.output_n_dataset,
+        input_n_model=args.input_n_model, output_n_model=args.output_n_model,
+        step_window=args.step_window,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(getattr(args, "seed", 0)))
+    print(f"total number of parameters of the network is: {param_count(state)}")
+
+    frames = jnp.asarray(dataset.frames)
+    vframes = jnp.asarray(vald.frames)
+    tframes = {a: jnp.asarray(ds.frames) for a, ds in test_sets.items()}
+
+    history = {"train": [], "val": [], "test": [],
+               "metrics": {"auc_pck": [], "mpjpe": []}}
+    for epoch in range(args.n_epochs):
+        t0 = time.time()
+        tf = epoch < args.n_epochs_teacher_forcing
+        state, train_loss = trainer.train_epoch_ar(
+            state, dataset, frames, args.batch_size, seed=epoch, teacher_forcing=tf
+        )
+        val_loss = trainer.evaluate_ar(state, vald, vframes, args.batch_size, kind="val")
+        m1_sum = m2_sum = n_sum = 0.0
+        per_action = {}
+        for a, ds in test_sets.items():
+            loss, auc = trainer.evaluate_ar(
+                state, ds, tframes[a], args.batch_size_test, kind="test"
+            )
+            per_action[a] = (loss * 1000.0, auc)
+            m1_sum += loss * 1000.0 * len(ds)
+            m2_sum += auc * len(ds)
+            n_sum += len(ds)
+        m1_avg, m2_avg = m1_sum / n_sum, m2_sum / n_sum
+
+        history["train"].append(train_loss)
+        history["val"].append(val_loss)
+        history["test"].append(m1_avg)
+        history["per_action"] = per_action
+        history["metrics"]["mpjpe"].append(m1_avg)
+        history["metrics"]["auc_pck"].append(m2_avg)
+        logger.add_scalar("loss/train", train_loss, epoch)
+        logger.add_scalar("loss/val", val_loss, epoch)
+        logger.add_scalar("loss/test", m1_avg, epoch)
+        logger.add_scalar("metrics/mpjpe", m1_avg, epoch)
+        logger.add_scalar("metrics/auc_pck", m2_avg, epoch)
+        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch)
+        print(
+            f"epoch {epoch}: tf={tf} train {train_loss:.4f} val {val_loss:.4f} "
+            f"test {m1_avg:.2f}mm ({time.time() - t0:.1f}s)"
+        )
+
+    logger.close()
+    return history, state, trainer
+
+
+def run_amass(args, model=None, model_name: Optional[str] = None):
+    """AMASS training (amass/train_mixer_amass.py:34-148,153-199).
+
+    The reference's test_mpjpe divides by a never-incremented ``n_batches``
+    (returns inf; train_mixer_amass.py:158,199) — fixed here by dividing by
+    the sample count, which is what the printed value uses.
+    """
+    dim_used = AMASS_DIM_USED
+    dataset = AMASSDataset(args.data_dir, args.input_n, args.output_n,
+                           args.skip_rate, split=0)
+    vald = AMASSDataset(args.data_dir, args.input_n, args.output_n,
+                        args.skip_rate, split=1)
+    test = AMASSDataset(args.data_dir, args.input_n, args.output_n,
+                        args.skip_rate, split=2)
+
+    if model is None:
+        model = build_mlp_mixer(args, len(dim_used), args.input_n, args.output_n)
+    model_name = model_name or f"amass_3d_{args.output_n}frames_ckpt"
+    log_dir = _log_dir(args, model_name)
+    logger = MetricLogger(log_dir)
+
+    opt = make_optimizer(
+        lr=args.lr, weight_decay=1e-5, use_scheduler=args.use_scheduler,
+        milestones=args.milestones, gamma=args.gamma,
+        steps_per_epoch=_steps_per_epoch(len(dataset), args.batch_size),
+        clip_grad=args.clip_grad,
+    )
+    # AMASS joints are in meters; loss reported x1000 (train_mixer_amass.py:92)
+    trainer = Trainer(
+        model, opt, loss_type="mpjpe", dim_used=dim_used,
+        input_n=args.input_n, output_n=args.output_n,
+        input_scale=1.0, loss_scale=1000.0,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(getattr(args, "seed", 0)))
+    print(f"total number of parameters of the network is: {param_count(state)}")
+
+    frames = jnp.asarray(dataset.frames)
+    vframes = jnp.asarray(vald.frames)
+    tframes = jnp.asarray(test.frames)
+
+    amass_test = make_amass_test_fn(trainer)
+    history = {"train": [], "val": [], "test": []}
+    for epoch in range(args.n_epochs):
+        t0 = time.time()
+        state, train_loss = trainer.train_epoch(
+            state, dataset, frames, args.batch_size, seed=epoch
+        )
+        val_loss = trainer.evaluate(state, vald, vframes, args.batch_size, kind="val")
+        test_loss = amass_test(state, test, tframes, args.batch_size)
+        history["train"].append(train_loss)
+        history["val"].append(val_loss)
+        history["test"].append(test_loss)
+        logger.add_scalar("loss/train", train_loss, epoch)
+        logger.add_scalar("loss/val", val_loss, epoch)
+        logger.add_scalar("loss/test", test_loss, epoch)
+        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch)
+        if getattr(args, "model_path", None):
+            save_checkpoint(args.model_path, state, epoch)
+        print(
+            f"epoch {epoch}: train {train_loss:.3f} val {val_loss:.3f} "
+            f"test {test_loss:.3f}mm ({time.time() - t0:.1f}s)"
+        )
+
+    logger.close()
+    return history, state, trainer
+
+
+def make_amass_test_fn(trainer):
+    """22-joint scatter eval (train_mixer_amass.py:153-199): the 18 predicted
+    joints are inserted back into the 22-joint gt skeleton; MPJPE x1000.
+
+    Returns fn(state, corpus, frames, batch_size) -> float. Build once per
+    run so the jitted step is compiled once.
+    """
+    from ..data.windows import batch_starts, gather_windows
+    from ..train.loop import _per_sample_mpjpe
+
+    seq_len = trainer.input_n + trainer.output_n
+    dim_used = jnp.asarray(trainer.dim_used)
+
+    @jax.jit
+    def step(variables, frames, starts, w):
+        batch = gather_windows(frames, starts, seq_len)
+        seq = jnp.take(batch, dim_used, axis=2)
+        model_in = seq[:, : trainer.input_n]
+        pred = trainer.model.apply(variables, model_in, training=False)
+        gt22 = batch[:, trainer.input_n :, : 22 * 3]
+        all_seq = gt22.at[:, :, dim_used].set(pred)
+        per = _per_sample_mpjpe(all_seq, gt22) * 1000.0
+        return jnp.sum(per * w), jnp.sum(w)
+
+    def run(state, corpus, frames, batch_size: int) -> float:
+        total, n = 0.0, 0.0
+        for starts, w in batch_starts(corpus, batch_size, shuffle=False):
+            s, ws = step(state.variables(), frames, jnp.asarray(starts), jnp.asarray(w))
+            total += float(s)
+            n += float(ws)
+        return total / max(n, 1.0)
+
+    return run

@@ -1,0 +1,202 @@
+"""Trainer for autoregressive (sliding-window rollout) models.
+
+Mirrors h36m/train_autoreg_mixer_h36m.py: teacher forcing for the first
+``n_epochs_teacher_forcing`` epochs (:122-125), closed loop afterwards;
+validation and test always run closed loop (:153, :322). Note the reference
+feeds unscaled (mm) sequences in this path — there is no /1000 in
+``autoregressive_process_batch`` — and the test metric is the rollout loss in
+dim_used space plus AUC-PCK (:322-338), not the full-skeleton MPJPE.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.windows import WindowedCorpus, batch_starts, gather_windows
+from .autoregressive import autoregressive_rollout
+from .loop import (
+    Trainer,
+    _per_sample_auc_pck,
+    _per_sample_euler,
+    _per_sample_joint_angle,
+    _per_sample_l1_angle,
+    _per_sample_mpjpe,
+    _wmean,
+)
+from .state import TrainState
+
+
+class AutoregressiveTrainer(Trainer):
+    """Extends Trainer with rollout-based train/val/test steps.
+
+    Extra args (parity with the reference autoregressive CLI):
+        input_n_model / output_n_model: the model's window geometry.
+        step_window: rollout stride.
+    ``input_n``/``output_n`` are the *dataset* window geometry
+    (input_n_dataset / output_n_dataset in the reference).
+    """
+
+    def __init__(
+        self,
+        model,
+        optimizer: optax.GradientTransformation,
+        *,
+        loss_type: str,
+        dim_used: np.ndarray,
+        input_n: int,
+        output_n: int,
+        input_n_model: int,
+        output_n_model: int,
+        step_window: int,
+        input_scale: float = 1.0,
+        loss_scale: float = 1.0,
+        mesh=None,
+    ):
+        super().__init__(
+            model, optimizer, loss_type=loss_type, dim_used=dim_used,
+            input_n=input_n, output_n=output_n, input_scale=input_scale,
+            loss_scale=loss_scale, mesh=mesh,
+        )
+        self.input_n_model = input_n_model
+        self.output_n_model = output_n_model
+        self.step_window = step_window
+        self._train_step_tf = jax.jit(
+            lambda s, f, st, w: self._ar_train_impl(s, f, st, w, True),
+            donate_argnums=0,
+        )
+        self._train_step_cl = jax.jit(
+            lambda s, f, st, w: self._ar_train_impl(s, f, st, w, False),
+            donate_argnums=0,
+        )
+        self._val_step_ar = jax.jit(self._ar_val_impl)
+        self._test_step_ar = jax.jit(self._ar_test_impl)
+
+    def init_state(self, rng, sample_dim: Optional[int] = None) -> TrainState:
+        d = sample_dim if sample_dim is not None else len(self.dim_used)
+        init_rng, state_rng = jax.random.split(rng)
+        variables = self.model.init(
+            init_rng,
+            jnp.zeros((2, self.input_n_model, d), jnp.float32),
+            training=False,
+        )
+        params = variables["params"]
+        opt_state = self.optimizer.init(params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=opt_state, rng=state_rng,
+        )
+        if self._replicated is not None:
+            state = jax.device_put(state, self._replicated)
+        return state
+
+    def _loss_per_sample(self):
+        if self.loss_type == "mpjpe":
+            return _per_sample_mpjpe
+        return _per_sample_l1_angle
+
+    def _rollout(self, variables, seq, teacher_forcing, rng=None, training=False):
+        def apply_fn(x):
+            kwargs = {"rngs": {"dropout": rng}} if (training and rng is not None) else {}
+            return self.model.apply(variables, x, training=training, **kwargs)
+
+        return autoregressive_rollout(
+            apply_fn, seq,
+            input_n_model=self.input_n_model,
+            output_n_model=self.output_n_model,
+            step_window=self.step_window,
+            teacher_forcing=teacher_forcing,
+            loss_per_sample=self._loss_per_sample(),
+        )
+
+    # ----------------------------------------------------------------- steps
+
+    def _ar_train_impl(self, state, frames, starts, w, teacher_forcing):
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        seq = jnp.take(batch, jnp.asarray(self.dim_used), axis=2) * self.input_scale
+        rng, new_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            per_sample, _ = self._rollout(
+                variables, seq, teacher_forcing, rng=rng, training=True
+            )
+            return _wmean(per_sample, w) * self.loss_scale
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1, params=new_params,
+                opt_state=new_opt, rng=new_rng,
+            ),
+            loss,
+        )
+
+    def _ar_val_impl(self, variables, frames, starts, w):
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        seq = jnp.take(batch, jnp.asarray(self.dim_used), axis=2) * self.input_scale
+        per_sample, _ = self._rollout(variables, seq, teacher_forcing=False)
+        return jnp.sum(per_sample * self.loss_scale * w), jnp.sum(w)
+
+    def _ar_test_impl(self, variables, frames, starts, w):
+        """Rollout loss + metric (train_autoreg_mixer_h36m.py:261-357,:360-412).
+
+        mpjpe: (rollout mpjpe, AUC-PCK of the stitched prediction / 1000).
+        angle: (euler error, joint-angle error) on the re-inserted full frame.
+        """
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        seq = jnp.take(batch, jnp.asarray(self.dim_used), axis=2) * self.input_scale
+        per_loss, full_pred = self._rollout(variables, seq, teacher_forcing=False)
+        gt = seq[:, self.input_n :]
+        b = gt.shape[0]
+        if self.loss_type == "mpjpe":
+            per_metric = _per_sample_auc_pck(
+                full_pred.reshape(b, self.output_n, -1, 3) / 1000.0,
+                gt.reshape(b, self.output_n, -1, 3) / 1000.0,
+            )
+        else:
+            full_gt = batch[:, self.input_n :]
+            all_seq = full_gt.at[:, :, jnp.asarray(self.dim_used)].set(full_pred)
+            per_loss = _per_sample_euler(all_seq, full_gt)
+            per_metric = _per_sample_joint_angle(all_seq, full_gt)
+        return jnp.sum(per_loss * w), jnp.sum(per_metric * w), jnp.sum(w)
+
+    # ------------------------------------------------------------ epoch APIs
+
+    def train_epoch_ar(
+        self, state, corpus: WindowedCorpus, frames, batch_size: int, seed: int,
+        teacher_forcing: bool,
+    ):
+        step = self._train_step_tf if teacher_forcing else self._train_step_cl
+        total, n = 0.0, 0
+        for starts, w in batch_starts(corpus, batch_size, shuffle=True, seed=seed):
+            starts, w = self._put_batch(starts, w)
+            k = int(np.sum(np.asarray(w) > 0))
+            state, loss = step(state, frames, starts, w)
+            total += float(loss) * k
+            n += k
+        return state, total / max(n, 1)
+
+    def evaluate_ar(self, state, corpus: WindowedCorpus, frames, batch_size: int,
+                    kind: str = "val"):
+        fn = self._val_step_ar if kind == "val" else self._test_step_ar
+        sums = None
+        for starts, w in batch_starts(corpus, batch_size, shuffle=False):
+            starts, w = self._put_batch(starts, w)
+            out = [float(x) for x in fn(state.variables(), frames, starts, w)]
+            sums = out if sums is None else [a + b for a, b in zip(sums, out)]
+        if kind == "val":
+            return sums[0] / max(sums[1], 1.0)
+        return sums[0] / max(sums[-1], 1.0), sums[1] / max(sums[-1], 1.0)
