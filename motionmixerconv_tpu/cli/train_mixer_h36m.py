@@ -98,3 +98,9 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def cli(argv=None) -> int:
+    """Console-script entry: discard main()'s history return (exit 0)."""
+    main(argv)
+    return 0
