@@ -1,0 +1,240 @@
+"""Hyperparameter-search engine with an optuna-compatible surface.
+
+The reference drives its studies with optuna (BruteForceSampler + sqlite
+storage, conv_optuna_main.py:371-406). optuna is not a baked-in dependency
+of this environment, so this module provides a small native engine exposing
+the same objective-side API — ``trial.suggest_int/float/categorical``,
+``trial.set_user_attr`` — with sqlite persistence and grid (brute-force) or
+random sampling. When optuna *is* installed, ``create_study(backend="optuna")``
+returns a real optuna study instead; objectives written against this module
+run unchanged on either.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import sqlite3
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Sequence
+
+
+class TrialPruned(Exception):
+    pass
+
+
+@dataclass
+class Trial:
+    """optuna.Trial-compatible parameter-suggestion interface."""
+
+    number: int
+    _sampler: "Sampler"
+    params: dict = field(default_factory=dict)
+    user_attrs: dict = field(default_factory=dict)
+
+    def _suggest(self, name: str, choices: Sequence[Any]) -> Any:
+        value = self._sampler.sample(self.number, name, list(choices))
+        self.params[name] = value
+        return value
+
+    def suggest_int(self, name: str, low: int, high: int, step: int = 1) -> int:
+        return int(self._suggest(name, list(range(low, high + 1, step))))
+
+    def suggest_float(self, name: str, low: float, high: float,
+                      step: Optional[float] = None, log: bool = False) -> float:
+        if step is not None:
+            n = int(round((high - low) / step)) + 1
+            return float(self._suggest(name, [low + i * step for i in range(n)]))
+        # continuous: grid sampler quantizes to 10 points; random is uniform
+        return float(self._suggest(name, _continuous(low, high, log)))
+
+    def suggest_categorical(self, name: str, choices: Sequence[Any]) -> Any:
+        return self._suggest(name, choices)
+
+    def set_user_attr(self, key: str, value: Any) -> None:
+        self.user_attrs[key] = value
+
+
+def _continuous(low, high, log):
+    import numpy as np
+
+    if log:
+        return list(np.geomspace(low, high, 10))
+    return list(np.linspace(low, high, 10))
+
+
+class Sampler:
+    def sample(self, trial_number: int, name: str, choices: list) -> Any:
+        raise NotImplementedError
+
+    def register_space(self, name: str, choices: list) -> None:
+        pass
+
+
+class GridSampler(Sampler):
+    """Brute-force grid over the cartesian product of every suggested space.
+
+    Equivalent to optuna.samplers.BruteForceSampler for a fixed search space
+    (conv_optuna_main.py:382): the grid is discovered from the first trial's
+    suggestions and enumerated in suggestion order.
+    """
+
+    def __init__(self):
+        self._spaces: dict[str, list] = {}
+        self._order: list[str] = []
+
+    def sample(self, trial_number: int, name: str, choices: list) -> Any:
+        if name not in self._spaces:
+            self._spaces[name] = list(choices)
+            self._order.append(name)
+        sizes = [len(self._spaces[k]) for k in self._order]
+        idx = trial_number
+        # mixed-radix decode, last-suggested parameter varies fastest
+        coords = {}
+        for k, size in zip(reversed(self._order), reversed(sizes)):
+            coords[k] = idx % size
+            idx //= size
+        return self._spaces[name][coords[name] % len(self._spaces[name])]
+
+    def n_points(self) -> Optional[int]:
+        if not self._spaces:
+            return None
+        n = 1
+        for v in self._spaces.values():
+            n *= len(v)
+        return n
+
+
+class RandomSampler(Sampler):
+    def __init__(self, seed: int = 0):
+        import numpy as np
+
+        self._rng = np.random.RandomState(seed)
+
+    def sample(self, trial_number: int, name: str, choices: list) -> Any:
+        return choices[int(self._rng.randint(len(choices)))]
+
+
+@dataclass
+class FrozenTrial:
+    number: int
+    state: str
+    values: Optional[list]
+    params: dict
+    user_attrs: dict
+
+
+class Study:
+    """Minimal study: sequential trials, sqlite persistence, multi-objective."""
+
+    def __init__(self, study_name: str, storage: Optional[str] = None,
+                 sampler: Optional[Sampler] = None,
+                 directions: Sequence[str] = ("minimize",)):
+        self.study_name = study_name
+        self.sampler = sampler or GridSampler()
+        self.directions = list(directions)
+        self._conn = None
+        if storage:
+            path = storage.replace("sqlite:///", "")
+            self._conn = sqlite3.connect(path)
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS trials ("
+                "study TEXT, number INTEGER, state TEXT, values_json TEXT, "
+                "params_json TEXT, user_attrs_json TEXT, t REAL)"
+            )
+            self._conn.commit()
+        self.trials: list[FrozenTrial] = []
+        if self._conn is not None:
+            rows = self._conn.execute(
+                "SELECT number, state, values_json, params_json, user_attrs_json "
+                "FROM trials WHERE study=? ORDER BY number", (study_name,)
+            ).fetchall()
+            for num, st, vals, params, attrs in rows:
+                self.trials.append(FrozenTrial(
+                    num, st, json.loads(vals) if vals else None,
+                    json.loads(params), json.loads(attrs),
+                ))
+
+    def _record(self, trial: Trial, state: str, values: Optional[list]):
+        frozen = FrozenTrial(trial.number, state, values, trial.params, trial.user_attrs)
+        self.trials.append(frozen)
+        if self._conn is not None:
+            self._conn.execute(
+                "INSERT INTO trials VALUES (?,?,?,?,?,?,?)",
+                (self.study_name, trial.number, state,
+                 json.dumps(values), json.dumps(trial.params),
+                 json.dumps(trial.user_attrs), time.time()),
+            )
+            self._conn.commit()
+
+    def optimize(self, objective: Callable[[Trial], Any],
+                 n_trials: int = 40, timeout: Optional[float] = None,
+                 catch: tuple = ()) -> None:
+        t0 = time.time()
+        start = len(self.trials)
+        for i in range(start, start + n_trials):
+            if timeout is not None and time.time() - t0 > timeout:
+                break
+            if isinstance(self.sampler, GridSampler):
+                n_pts = self.sampler.n_points()
+                if n_pts is not None and i >= n_pts:
+                    break  # grid exhausted
+            trial = Trial(number=i, _sampler=self.sampler)
+            try:
+                result = objective(trial)
+            except TrialPruned:
+                self._record(trial, "PRUNED", None)
+                continue
+            except catch as e:  # reference: catch=(Exception,) (:405)
+                print(f"trial {i} failed: {e}")
+                self._record(trial, "FAIL", None)
+                continue
+            values = list(result) if isinstance(result, (tuple, list)) else [result]
+            self._record(trial, "COMPLETE", [float(v) for v in values])
+
+    @property
+    def best_trial(self) -> FrozenTrial:
+        done = [t for t in self.trials if t.state == "COMPLETE"]
+        if not done:
+            raise ValueError("no completed trials")
+        sign = -1.0 if self.directions[0] == "maximize" else 1.0
+        return min(done, key=lambda t: sign * t.values[0])
+
+    def trials_dataframe(self):
+        import pandas as pd
+
+        rows = []
+        for t in self.trials:
+            row = {"number": t.number, "state": t.state}
+            if t.values:
+                for i, v in enumerate(t.values):
+                    row[f"values_{i}"] = v
+            row.update({f"params_{k}": v for k, v in t.params.items()})
+            row.update({f"user_attrs_{k}": v for k, v in t.user_attrs.items()})
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+
+def create_study(study_name: str, storage: Optional[str] = None,
+                 sampler: Optional[Sampler] = None,
+                 directions: Sequence[str] = ("minimize",),
+                 backend: str = "auto"):
+    """Create a study; uses real optuna when installed and requested."""
+    if backend in ("auto", "optuna"):
+        try:
+            import optuna  # noqa: F401
+
+            if backend == "optuna" or storage is not None and backend == "auto":
+                pass  # fallthrough below builds native study; optuna optional
+        except ImportError:
+            if backend == "optuna":
+                raise
+    if backend == "optuna":
+        import optuna
+
+        return optuna.create_study(
+            study_name=study_name, storage=storage,
+            directions=list(directions), load_if_exists=True,
+        )
+    return Study(study_name, storage=storage, sampler=sampler, directions=directions)

@@ -32,10 +32,19 @@ class TrainState(struct.PyTreeNode):
 
 
 def save_checkpoint(path: str, state: TrainState, epoch: int) -> None:
-    """Serialize the full train state (msgpack for arrays + meta pickle)."""
+    """Serialize the full train state (msgpack for arrays + meta pickle).
+
+    The model variables ({params, batch_stats}) are additionally stored as a
+    separate msgpack blob so evaluation-only consumers can load weights
+    without reconstructing the optimizer (see ``load_variables``).
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host_state = jax.device_get(state)
     payload = {
-        "state": serialization.to_bytes(jax.device_get(state)),
+        "state": serialization.to_bytes(host_state),
+        "variables": serialization.to_bytes(
+            {"params": host_state.params, "batch_stats": host_state.batch_stats}
+        ),
         "epoch": epoch,
     }
     with open(path, "wb") as f:
@@ -48,3 +57,23 @@ def restore_checkpoint(path: str, template: TrainState) -> tuple[TrainState, int
         payload = pickle.load(f)
     state = serialization.from_bytes(template, payload["state"])
     return state, int(payload["epoch"])
+
+
+def load_variables(path: str, template_variables: dict) -> dict:
+    """Load only the model variables from a checkpoint (eval-time use).
+
+    ``template_variables`` is a ``model.init(...)`` result providing the
+    pytree structure; returns {'params': ..., 'batch_stats': ...} with
+    batch_stats omitted when empty.
+    """
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    template = {
+        "params": template_variables["params"],
+        "batch_stats": template_variables.get("batch_stats", {}),
+    }
+    restored = serialization.from_bytes(template, payload["variables"])
+    out = {"params": restored["params"]}
+    if restored["batch_stats"]:
+        out["batch_stats"] = restored["batch_stats"]
+    return out

@@ -1,0 +1,170 @@
+"""Tests for the sweep engine, GIF visualization, and pretrained-eval CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+from motionmixerconv_tpu.sweep import GridSampler, RandomSampler, Study, Trial
+
+
+class TestSweepEngine:
+    def test_grid_enumerates_cartesian_product(self, tmp_path):
+        seen = []
+
+        def objective(trial):
+            a = trial.suggest_int("a", 1, 3, step=1)
+            b = trial.suggest_categorical("b", ["x", "y"])
+            seen.append((a, b))
+            return float(a)
+
+        study = Study("t", sampler=GridSampler())
+        study.optimize(objective, n_trials=20)
+        assert len(seen) == 6  # grid exhausted, not 20
+        assert sorted(set(seen)) == [(i, c) for i in (1, 2, 3) for c in ("x", "y")]
+
+    def test_sqlite_persistence_and_resume(self, tmp_path):
+        db = f"sqlite:///{tmp_path}/results.db"
+
+        def objective(trial):
+            v = trial.suggest_int("v", 1, 4, step=1)
+            trial.set_user_attr("doubled", v * 2)
+            return float(v)
+
+        s1 = Study("persist", storage=db, sampler=GridSampler())
+        s1.optimize(objective, n_trials=2)
+        s2 = Study("persist", storage=db, sampler=GridSampler())
+        assert len(s2.trials) == 2
+        s2.optimize(objective, n_trials=10)
+        assert len(s2.trials) == 4  # resumed and exhausted the 4-point grid
+        assert s2.best_trial.values[0] == 1.0
+        assert s2.best_trial.user_attrs["doubled"] == 2
+
+    def test_catch_records_failures(self):
+        def objective(trial):
+            v = trial.suggest_int("v", 1, 3, step=1)
+            if v == 2:
+                raise RuntimeError("boom")
+            return float(v)
+
+        study = Study("f", sampler=GridSampler())
+        study.optimize(objective, n_trials=10, catch=(Exception,))
+        states = [t.state for t in study.trials]
+        assert states.count("FAIL") == 1 and states.count("COMPLETE") == 2
+
+    def test_random_sampler(self):
+        study = Study("r", sampler=RandomSampler(seed=1))
+        study.optimize(lambda t: float(t.suggest_int("v", 1, 100)), n_trials=5)
+        assert len(study.trials) == 5
+
+    def test_multi_objective(self):
+        def objective(trial):
+            v = trial.suggest_int("v", 1, 2, step=1)
+            return float(v), float(-v)
+
+        study = Study("m", sampler=GridSampler(), directions=["minimize", "minimize"])
+        study.optimize(objective, n_trials=5)
+        assert all(len(t.values) == 2 for t in study.trials)
+
+    def test_trials_dataframe(self):
+        study = Study("df", sampler=GridSampler())
+        study.optimize(lambda t: float(t.suggest_int("v", 1, 2, step=1)), n_trials=5)
+        df = study.trials_dataframe()
+        assert "params_v" in df.columns and len(df) == 2
+
+
+class TestViz:
+    def test_h36m_gif(self, tmp_path):
+        from motionmixerconv_tpu.viz import visualize_batch
+
+        rs = np.random.RandomState(0)
+        pred = rs.randn(3, 96).astype(np.float32) * 100
+        gt = pred + rs.randn(3, 96).astype(np.float32) * 10
+        inp = rs.randn(2, 96).astype(np.float32) * 100
+        path = str(tmp_path / "out.gif")
+        visualize_batch(pred, path, batch_gt=gt, batch_train=inp)
+        assert os.path.getsize(path) > 1000
+        with open(path, "rb") as f:
+            assert f.read(6) in (b"GIF87a", b"GIF89a")
+
+    def test_ais_gif(self, tmp_path):
+        from motionmixerconv_tpu.viz import visualize_batch_ais
+
+        rs = np.random.RandomState(0)
+        pred = rs.randn(3, 57).astype(np.float32)
+        path = str(tmp_path / "ais.gif")
+        visualize_batch_ais(pred, path, batch_gt=pred, batch_train=pred[:1])
+        assert os.path.getsize(path) > 1000
+
+
+class TestPretrainedEval:
+    def test_eval_from_torch_pt(self, tmp_path):
+        """test_mixer_h36m loads a torch state_dict and evaluates."""
+        import torch
+
+        from motionmixerconv_tpu.data import fixtures
+        from motionmixerconv_tpu.cli import test_mixer_h36m as tm
+
+        fixtures.make_h36m_corpus(
+            str(tmp_path / "data"), actions=["walking"], n_frames=400, seed=3
+        )
+        # build a torch state_dict from the golden MlpMixer fixture config
+        golden = np.load(
+            os.path.join(os.path.dirname(__file__), "golden", "model_mlp_mixer.npz")
+        )
+        sd = {k[4:]: torch.from_numpy(golden[k]) for k in golden.files
+              if k.startswith("sd::")}
+        pt_path = str(tmp_path / "model.pt")
+        torch.save(sd, pt_path)
+
+        args = tm.parse_args([
+            "--data_dir", str(tmp_path / "data"),
+            "--model_path", pt_path,
+            "--input_n", "10", "--output_n", "25", "--skip_rate", "5",
+            "--actions_to_consider", "walking",
+            "--num_blocks", "2", "--hidden_dim", "50",
+            "--tokens_mlp_dim", "20", "--channels_mlp_dim", "50",
+            "--activation", "mish", "--regularization", "0.1", "--r_se", "8",
+            "--delta_x", "True",
+        ])
+        from motionmixerconv_tpu.cli._runner import build_mlp_mixer
+
+        model = build_mlp_mixer(args, args.pose_dim, args.input_n, args.output_n)
+        variables = tm.load_model_variables(model, pt_path, args.num_blocks)
+        avg, final = tm.test_pretrained(model, variables, args)
+        assert np.isfinite(avg) and np.isfinite(final)
+
+    def test_eval_from_native_ckpt(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from motionmixerconv_tpu.cli import test_mixer_h36m as tm
+        from motionmixerconv_tpu.cli._runner import build_mlp_mixer
+        from motionmixerconv_tpu.data import fixtures
+        from motionmixerconv_tpu.train import make_optimizer, save_checkpoint
+        from motionmixerconv_tpu.train.loop import Trainer
+        from motionmixerconv_tpu.data.constants import H36M_DIM_USED_XYZ
+
+        fixtures.make_h36m_corpus(
+            str(tmp_path / "data"), actions=["walking"], n_frames=400, seed=3
+        )
+        args = tm.parse_args([
+            "--data_dir", str(tmp_path / "data"),
+            "--model_path", str(tmp_path / "model.ckpt"),
+            "--input_n", "10", "--output_n", "25", "--skip_rate", "5",
+            "--actions_to_consider", "walking",
+            "--num_blocks", "1", "--hidden_dim", "24",
+        ])
+        model = build_mlp_mixer(args, 66, 10, 25)
+        trainer = Trainer(
+            model, make_optimizer(lr=1e-3, steps_per_epoch=1),
+            loss_type="mpjpe", dim_used=H36M_DIM_USED_XYZ,
+            input_n=10, output_n=25, input_scale=1e-3,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        save_checkpoint(str(tmp_path / "model.ckpt"), state, epoch=0)
+        variables = tm.load_model_variables(
+            model, str(tmp_path / "model.ckpt"), args.num_blocks
+        )
+        avg, final = tm.test_pretrained(model, variables, args)
+        assert np.isfinite(avg) and np.isfinite(final)
