@@ -33,6 +33,27 @@ from ..train.autoreg_trainer import AutoregressiveTrainer
 AMASS_DIM_USED = np.arange(12, 66)  # joints 4..21 of the flat (52*3) frame
 
 
+def enable_compilation_cache() -> None:
+    """Opt-in persistent XLA compilation cache (set MMC_COMPILE_CACHE=<dir>).
+
+    Off by default: under the axon remote-compile TPU backend, reloading a
+    persisted executable was observed to deadlock the first dispatched step
+    (hang in Array.__array__ waiting on the device), so only enable this on
+    platforms where it is known-good (e.g. CPU or direct TPU runtimes).
+    """
+    cache_dir = os.environ.get("MMC_COMPILE_CACHE", "")
+    if cache_dir and cache_dir != "0":
+        os.makedirs(cache_dir, exist_ok=True)
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+
+enable_compilation_cache()
+
+
 def build_conv_mixer(args, dim_in: int, dim_out: int, in_ntp: int, out_ntp: int) -> ConvMixer:
     """ConvMixer from CLI flags (train_mixer_h36m.py:575-595 defaults)."""
     return ConvMixer(

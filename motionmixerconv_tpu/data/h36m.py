@@ -32,15 +32,38 @@ SAMPLE_RATE = 2  # 50 Hz -> 25 Hz (dataset_h36m.py:36)
 
 
 def read_csv_floats(filename: str) -> np.ndarray:
-    """Read a comma-separated float matrix (data_utils.py:197-215)."""
+    """Read a comma-separated float matrix (data_utils.py:197-215).
+
+    Uses the native C++ parser (_native/csv_reader.cpp, ~5x numpy.loadtxt)
+    when the toolchain is available; falls back to numpy otherwise.
+    """
+    from .._native import read_csv_native
+
+    arr = read_csv_native(filename)
+    if arr is not None:
+        return arr
     return np.loadtxt(filename, delimiter=",", dtype=np.float32, ndmin=2)
 
 
-def _load_sequence(path_to_data: str, subj: int, action: str, subact: int) -> np.ndarray:
-    filename = os.path.join(path_to_data, f"S{subj}", f"{action}_{subact}.txt")
-    seq = read_csv_floats(filename)
-    seq = seq[:: SAMPLE_RATE]
-    seq = np.array(seq, dtype=np.float32)
+def _read_corpus(paths: list[str]) -> dict[str, np.ndarray]:
+    """Read all corpus files, concurrently via the native thread pool."""
+    from .._native import read_csv_many_native
+
+    out: dict[str, np.ndarray] = {}
+    results = read_csv_many_native(paths)
+    if results is not None:
+        for p, arr in zip(paths, results):
+            if arr is None:
+                raise FileNotFoundError(p)
+            out[p] = arr
+        return out
+    for p in paths:
+        out[p] = read_csv_floats(p)
+    return out
+
+
+def _preprocess(seq: np.ndarray) -> np.ndarray:
+    seq = np.array(seq[::SAMPLE_RATE], dtype=np.float32)
     seq[:, 0:6] = 0.0  # zero global translation+rotation (dataset_h36m.py:87)
     return seq
 
@@ -79,21 +102,30 @@ class H36MDataset(WindowedCorpus):
         acts = list(actions) if actions is not None else list(H36M_ACTIONS)
         subs = H36M_SUBJECT_SPLITS[split]
 
+        def _path(subj, action, subact):
+            return os.path.join(path_to_data, f"S{subj}", f"{action}_{subact}.txt")
+
+        all_paths = [
+            _path(subj, action, subact)
+            for subj in subs for action in acts for subact in (1, 2)
+        ]
+        raw_files = _read_corpus(all_paths)
+
         sequences: list[np.ndarray] = []
         local_starts: list[np.ndarray] = []  # per-sequence window starts
         for subj in subs:
             for action in acts:
                 if split <= 1:
                     for subact in (1, 2):
-                        seq = _load_sequence(path_to_data, subj, action, subact)
+                        seq = _preprocess(raw_files[_path(subj, action, subact)])
                         sequences.append(seq)
                         n = seq.shape[0]
                         local_starts.append(
                             np.arange(0, n - seq_len + 1, skip_rate)
                         )
                 else:
-                    seq1 = _load_sequence(path_to_data, subj, action, 1)
-                    seq2 = _load_sequence(path_to_data, subj, action, 2)
+                    seq1 = _preprocess(raw_files[_path(subj, action, 1)])
+                    seq2 = _preprocess(raw_files[_path(subj, action, 2)])
                     finder = find_indices_256 if mode == "xyz" else find_indices_srnn
                     fs1, fs2 = finder(
                         seq1.shape[0], seq2.shape[0], seq_len, input_n=input_n

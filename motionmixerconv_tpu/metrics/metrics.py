@@ -41,16 +41,41 @@ def pck(
     return jnp.mean(ok.astype(jnp.float32), axis=tuple(range(1, dist.ndim + 1)))
 
 
+def _auc_suffix_weights() -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Precomputed threshold grid + suffix trapz weights for AUC-PCK.
+
+    The reference integrates mean(1[d <= t]) over the 299-point grid with
+    trapz (utils_mixer.py:36-45). Since the integrand is linear in the
+    per-distance indicators, AUC == mean_d W[k(d)] / 0.299 with
+    W[k] = sum_{i>=k} w_i (trapz weights) and k(d) the first grid index with
+    t_k >= d — an O(log T) searchsorted per distance instead of a
+    T x |distances| broadcast.
+    """
+    grid = jnp.arange(0.001, 0.3, 0.001, dtype=jnp.float32)  # (299,)
+    w = jnp.full((299,), 0.001, dtype=jnp.float32)
+    w = w.at[0].set(0.0005).at[-1].set(0.0005)
+    suffix = jnp.concatenate(
+        [jnp.cumsum(w[::-1])[::-1], jnp.zeros((1,), jnp.float32)]
+    )  # (300,), suffix[299] = 0
+    return grid, suffix
+
+
+def auc_pck_from_dist(dist: jnp.ndarray) -> jnp.ndarray:
+    """AUC-PCK from joint distances (..., scalar per joint), exact trapz value."""
+    grid, suffix = _auc_suffix_weights()
+    k = jnp.searchsorted(grid, dist, side="left")
+    return jnp.mean(suffix[k]) / 0.299
+
+
 def auc_pck_metric(predictions: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """AUC of the PCK curve over thresholds 0.001..0.3 (step 0.001).
 
-    Parity with reference ``auc_pck_metric`` (h36m/utils/utils_mixer.py:36-45):
-    trapezoidal integration with dx=0.001, normalised by 0.299. The reference's
-    299-iteration Python loop is one broadcast here.
+    Parity with reference ``auc_pck_metric`` (h36m/utils/utils_mixer.py:36-45),
+    computed via the closed-form suffix-weight lookup (see
+    ``_auc_suffix_weights``) instead of the reference's 299-iteration loop.
     """
-    threshs = jnp.arange(0.001, 0.3, 0.001, dtype=jnp.float32)  # (299,)
-    pck_values = pck(predictions, targets, threshs)  # (299,)
-    return jnp.trapezoid(pck_values, dx=0.001) / 0.299
+    dist = jnp.sqrt(jnp.sum((predictions - targets) ** 2, axis=-1))
+    return auc_pck_from_dist(dist)
 
 
 def joint_angle_error(ang_pred: jnp.ndarray, ang_gt: jnp.ndarray) -> jnp.ndarray:

@@ -60,12 +60,17 @@ def _per_sample_joint_angle(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 
 def _per_sample_auc_pck(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
-    """(B, T, J, 3) -> (B,): per-sample AUC of PCK over thresholds .001..0.3."""
+    """(B, T, J, 3) -> (B,): per-sample AUC of PCK over thresholds .001..0.3.
+
+    Uses the exact suffix-weight closed form (metrics.auc_pck_from_dist)
+    rather than a (B, T, J, 299) indicator broadcast.
+    """
+    from ..metrics.metrics import _auc_suffix_weights
+
     dist = jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=-1))  # (B, T, J)
-    threshs = jnp.arange(0.001, 0.3, 0.001, dtype=pred.dtype)  # (299,)
-    ok = dist[..., None] <= threshs  # (B, T, J, 299)
-    curves = jnp.mean(ok.astype(pred.dtype), axis=(1, 2))  # (B, 299)
-    return jnp.trapezoid(curves, dx=0.001, axis=-1) / 0.299
+    grid, suffix = _auc_suffix_weights()
+    k = jnp.searchsorted(grid, dist, side="left")
+    return jnp.mean(suffix[k], axis=(1, 2)) / 0.299
 
 
 def _wmean(per_sample: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
