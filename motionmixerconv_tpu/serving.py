@@ -1,0 +1,110 @@
+"""Serving API: low-latency batched prediction from trained checkpoints.
+
+The reference has no serving path (inference happens inside eval scripts);
+this module packages one TPU-first: a ``Predictor`` that loads a checkpoint
+(native ``.ckpt`` or reference torch ``.pt``), keeps variables device-resident,
+and serves direct or autoregressive predictions. For MlpMixer models it
+auto-selects the fused Pallas kernel (ops/pallas_mixer.py) below
+``fused_max_batch`` — one kernel dispatch, exact f32 — and the jitted flax
+forward above it, where XLA's bulk matmuls win.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .models.mixer_mlp import MlpMixer
+
+
+class Predictor:
+    """Device-resident model server.
+
+    Args:
+        model: flax module ((B, input_n, D) -> (B, output_n, D)).
+        variables: model variables ({'params': ...}).
+        use_fused: try the fused Pallas kernel for small batches (MlpMixer
+            without BatchNorm only; silently falls back otherwise).
+        fused_max_batch: largest batch routed to the fused kernel.
+    """
+
+    def __init__(self, model, variables: dict, *, use_fused: bool = True,
+                 fused_max_batch: int = 128):
+        self.model = model
+        self.variables = jax.device_put(variables)
+        self.fused_max_batch = fused_max_batch
+        self._plain = jax.jit(
+            lambda v, x: self.model.apply(v, x, training=False)
+        )
+        self._fused = None
+        if use_fused and isinstance(model, MlpMixer) and jax.default_backend() == "tpu":
+            try:
+                from .ops.pallas_mixer import FusedMlpMixer
+
+                self._fused = FusedMlpMixer(model, variables)
+            except NotImplementedError:
+                self._fused = None
+
+    @classmethod
+    def from_checkpoint(cls, model, path: str, num_blocks: Optional[int] = None,
+                        sample_shape=(1, 10, 66), **kw) -> "Predictor":
+        """Load from a native .ckpt or a reference torch .pt state_dict."""
+        if path.endswith((".pt", ".pth")):
+            from .models import convert_conv_mixer, convert_mlp_mixer, load_torch_state_dict
+            from .models.mixer_conv import ConvMixer
+
+            sd = load_torch_state_dict(path)
+            conv = convert_conv_mixer if isinstance(model, ConvMixer) else convert_mlp_mixer
+            variables = conv(sd, num_blocks=num_blocks or model.num_blocks)
+        else:
+            from .train.state import load_variables
+
+            template = model.init(
+                jax.random.PRNGKey(0), jnp.zeros(sample_shape), training=False
+            )
+            variables = load_variables(path, template)
+        return cls(model, variables, **kw)
+
+    def predict(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, input_n, D) -> (B, output_n, D)."""
+        if self._fused is not None and x.shape[0] <= self.fused_max_batch:
+            return self._fused(jnp.asarray(x))
+        return self._plain(self.variables, jnp.asarray(x))
+
+    @functools.cached_property
+    def _rollout_step(self):
+        return jax.jit(
+            lambda v, x: self.model.apply(v, x, training=False)
+        )
+
+    def predict_autoregressive(
+        self, x: jnp.ndarray, horizon: int, step_window: Optional[int] = None
+    ) -> jnp.ndarray:
+        """Closed-loop rollout to an arbitrary horizon.
+
+        Matches the reference rollout feedback (reuse the last
+        input_n - step frames, append the prediction;
+        train_autoreg_mixer_h36m.py:241-253). ``step_window`` defaults to the
+        model's output length.
+        """
+        from .train.autoregressive import autoregressive_rollout
+
+        in_n = self.model.seq_len if hasattr(self.model, "seq_len") else self.model.in_nTP
+        out_n = self.model.pred_len if hasattr(self.model, "pred_len") else self.model.out_nTP
+        step = step_window or out_n
+        n_steps = -(-horizon // step)  # ceil
+        total = in_n + n_steps * step
+
+        x = jnp.asarray(x)
+        pad = jnp.zeros((x.shape[0], total - in_n, x.shape[2]), x.dtype)
+        seq = jnp.concatenate([x, pad], axis=1)
+        _, pred = autoregressive_rollout(
+            lambda a: self.model.apply(self.variables, a, training=False),
+            seq, input_n_model=in_n, output_n_model=out_n,
+            step_window=step, teacher_forcing=False,
+            loss_per_sample=lambda p, g: jnp.zeros(p.shape[0]),
+        )
+        return pred[:, :horizon]

@@ -1,0 +1,59 @@
+"""Parity tests for the fused Pallas MlpMixer kernel (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionmixerconv_tpu.models import MlpMixer
+from motionmixerconv_tpu.ops.pallas_mixer import FusedMlpMixer
+
+
+def _case(activation, use_se, num_blocks=2, hidden=50, tok=20, ch=50,
+          seq=10, pred=25, dim=66, r_se=4):
+    model = MlpMixer(
+        num_classes=dim, num_blocks=num_blocks, hidden_dim=hidden,
+        tokens_mlp_dim=tok, channels_mlp_dim=ch, seq_len=seq, pred_len=pred,
+        activation=activation, regularization=0.1, input_size=dim,
+        r_se=r_se, use_se=use_se,
+    )
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(37, seq, dim).astype(np.float32) * 0.5)
+    variables = model.init(jax.random.PRNGKey(3), x, training=False)
+    want = model.apply(variables, x, training=False)
+    fused = FusedMlpMixer(model, variables)
+    return fused, x, want
+
+
+@pytest.mark.parametrize("activation", ["gelu", "mish"])
+@pytest.mark.parametrize("use_se", [True, False])
+def test_fused_matches_flax(activation, use_se):
+    fused, x, want = _case(activation, use_se)
+    got = fused(x, block_b=16, interpret=True)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_fused_amass_config():
+    # AMASS flagship: hidden 128, 5 blocks, 54-dim pose, use_se=True
+    fused, x, want = _case("gelu", True, num_blocks=3, hidden=128, tok=20,
+                           ch=128, dim=54, r_se=8)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_ragged_batch_and_block_sizes():
+    fused, x, want = _case("gelu", True)
+    for bb in (8, 32, 256):
+        got = fused(x, block_b=bb, interpret=True)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_batchnorm_config_rejected():
+    model = MlpMixer(
+        num_classes=48, num_blocks=1, hidden_dim=60, tokens_mlp_dim=40,
+        channels_mlp_dim=60, seq_len=10, pred_len=10, activation="gelu",
+        regularization=-1.0, input_size=48, use_se=True,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 48)))
+    with pytest.raises(NotImplementedError):
+        FusedMlpMixer(model, variables)
