@@ -26,6 +26,7 @@ from ..data.constants import (
     define_actions,
 )
 from ..logging import MetricLogger
+from ..profiling import profile_dir_from_env, profile_trace
 from ..models import ConvMixer, MlpMixer
 from ..train import Trainer, make_optimizer, save_checkpoint
 from ..train.autoreg_trainer import AutoregressiveTrainer
@@ -171,8 +172,12 @@ def run_h36m(args, model=None, model_name: Optional[str] = None):
     test_kind = "h36m_xyz" if args.loss_type == "mpjpe" else "h36m_angle"
     for epoch in range(args.n_epochs):
         t0 = time.time()
-        state, train_loss = trainer.train_epoch(
-            state, dataset, frames, args.batch_size, seed=epoch
+        with profile_trace(profile_dir_from_env() if epoch == 0 else None):
+            state, train_loss = trainer.train_epoch(
+                state, dataset, frames, args.batch_size, seed=epoch
+            )
+        logger.add_scalar(
+            "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
         )
         val_loss = trainer.evaluate(state, vald, vframes, args.batch_size, kind="val")
 
@@ -269,8 +274,12 @@ def run_h36m_autoregressive(args, model=None, model_name: Optional[str] = None):
     for epoch in range(args.n_epochs):
         t0 = time.time()
         tf = epoch < args.n_epochs_teacher_forcing
-        state, train_loss = trainer.train_epoch_ar(
-            state, dataset, frames, args.batch_size, seed=epoch, teacher_forcing=tf
+        with profile_trace(profile_dir_from_env() if epoch == 0 else None):
+            state, train_loss = trainer.train_epoch_ar(
+                state, dataset, frames, args.batch_size, seed=epoch, teacher_forcing=tf
+            )
+        logger.add_scalar(
+            "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
         )
         val_loss = trainer.evaluate_ar(state, vald, vframes, args.batch_size, kind="val")
 
@@ -360,8 +369,12 @@ def run_ais(args, model=None, model_name: Optional[str] = None):
     history = {"train": [], "val": [], "test": [], "metrics": {"auc_pck": [], "mpjpe": []}}
     for epoch in range(args.n_epochs):
         t0 = time.time()
-        state, train_loss = trainer.train_epoch(
-            state, dataset, frames, args.batch_size, seed=epoch
+        with profile_trace(profile_dir_from_env() if epoch == 0 else None):
+            state, train_loss = trainer.train_epoch(
+                state, dataset, frames, args.batch_size, seed=epoch
+            )
+        logger.add_scalar(
+            "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
         )
         val_loss = trainer.evaluate(state, vald, vframes, args.batch_size, kind="val")
         m1_sum = m2_sum = n_sum = 0.0
@@ -451,8 +464,12 @@ def run_ais_autoregressive(args, model=None, model_name: Optional[str] = None):
     for epoch in range(args.n_epochs):
         t0 = time.time()
         tf = epoch < args.n_epochs_teacher_forcing
-        state, train_loss = trainer.train_epoch_ar(
-            state, dataset, frames, args.batch_size, seed=epoch, teacher_forcing=tf
+        with profile_trace(profile_dir_from_env() if epoch == 0 else None):
+            state, train_loss = trainer.train_epoch_ar(
+                state, dataset, frames, args.batch_size, seed=epoch, teacher_forcing=tf
+            )
+        logger.add_scalar(
+            "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
         )
         val_loss = trainer.evaluate_ar(state, vald, vframes, args.batch_size, kind="val")
         m1_sum = m2_sum = n_sum = 0.0
@@ -532,8 +549,12 @@ def run_amass(args, model=None, model_name: Optional[str] = None):
     history = {"train": [], "val": [], "test": []}
     for epoch in range(args.n_epochs):
         t0 = time.time()
-        state, train_loss = trainer.train_epoch(
-            state, dataset, frames, args.batch_size, seed=epoch
+        with profile_trace(profile_dir_from_env() if epoch == 0 else None):
+            state, train_loss = trainer.train_epoch(
+                state, dataset, frames, args.batch_size, seed=epoch
+            )
+        logger.add_scalar(
+            "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
         )
         val_loss = trainer.evaluate(state, vald, vframes, args.batch_size, kind="val")
         test_loss = amass_test(state, test, tframes, args.batch_size)
