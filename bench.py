@@ -110,21 +110,24 @@ def measure_jax(steps: int = 200) -> float:
     frames = jnp.asarray(_synth_frames(rs))
     seq_len = INPUT_N + OUTPUT_N
     n_windows = N_FRAMES - seq_len
-    all_starts = rs.randint(0, n_windows, size=(steps + 10, BATCH)).astype(np.int32)
-    w = jnp.ones((BATCH,), jnp.float32)
+
+    # the real training path: the whole epoch is ONE jitted lax.scan dispatch
+    n_batches = max(1, steps)
+    starts = jnp.asarray(
+        rs.randint(0, n_windows, size=(n_batches, BATCH)).astype(np.int32)
+    )
+    w = jnp.ones((n_batches, BATCH), jnp.float32)
 
     # warmup (compile)
-    for i in range(3):
-        state, loss = trainer._train_step(state, frames, jnp.asarray(all_starts[i]), w)
+    state, loss = trainer._train_epoch_scan(state, frames, starts, w)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, loss = trainer._train_step(
-            state, frames, jnp.asarray(all_starts[3 + i]), w
-        )
+    n_epochs = 3
+    for _ in range(n_epochs):
+        state, loss = trainer._train_epoch_scan(state, frames, starts, w)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    return steps * BATCH / dt
+    return n_epochs * n_batches * BATCH / dt
 
 
 def main():

@@ -75,6 +75,14 @@ class AutoregressiveTrainer(Trainer):
         )
         self._val_step_ar = jax.jit(self._ar_val_impl)
         self._test_step_ar = jax.jit(self._ar_test_impl)
+        self._epoch_scan_tf = jax.jit(
+            lambda s, f, st, w: self._ar_epoch_scan_impl(s, f, st, w, True),
+            donate_argnums=0,
+        )
+        self._epoch_scan_cl = jax.jit(
+            lambda s, f, st, w: self._ar_epoch_scan_impl(s, f, st, w, False),
+            donate_argnums=0,
+        )
 
     def init_state(self, rng, sample_dim: Optional[int] = None) -> TrainState:
         d = sample_dim if sample_dim is not None else len(self.dim_used)
@@ -173,12 +181,34 @@ class AutoregressiveTrainer(Trainer):
             per_metric = _per_sample_joint_angle(all_seq, full_gt)
         return jnp.sum(per_loss * w), jnp.sum(per_metric * w), jnp.sum(w)
 
+    def _ar_epoch_scan_impl(self, state, frames, starts, w, teacher_forcing):
+        """Whole epoch as one lax.scan dispatch (cf. Trainer._train_epoch_scan_impl)."""
+
+        def step(carry, batch_idx):
+            s, ww = batch_idx
+            st, loss = self._ar_train_impl(carry, frames, s, ww, teacher_forcing)
+            return st, (loss * jnp.sum(ww), jnp.sum(ww))
+
+        state, (loss_sums, w_sums) = jax.lax.scan(step, state, (starts, w))
+        return state, jnp.sum(loss_sums) / jnp.maximum(jnp.sum(w_sums), 1.0)
+
     # ------------------------------------------------------------ epoch APIs
 
     def train_epoch_ar(
         self, state, corpus: WindowedCorpus, frames, batch_size: int, seed: int,
-        teacher_forcing: bool,
+        teacher_forcing: bool, scan: bool = True,
     ):
+        if scan:
+            all_starts, all_w = [], []
+            for starts, w in batch_starts(corpus, batch_size, shuffle=True, seed=seed):
+                all_starts.append(starts)
+                all_w.append(w)
+            starts = jnp.asarray(np.stack(all_starts))
+            w = jnp.asarray(np.stack(all_w))
+            fn = self._epoch_scan_tf if teacher_forcing else self._epoch_scan_cl
+            state, mean_loss = fn(state, frames, starts, w)
+            return state, float(mean_loss)
+
         step = self._train_step_tf if teacher_forcing else self._train_step_cl
         total, n = 0.0, 0
         for starts, w in batch_starts(corpus, batch_size, shuffle=True, seed=seed):

@@ -143,6 +143,7 @@ class Trainer:
             self._replicated = NamedSharding(mesh, P())
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._train_epoch_scan = jax.jit(self._train_epoch_scan_impl, donate_argnums=0)
         self._val_step = jax.jit(self._val_step_impl)
         self._test_h36m_xyz = jax.jit(self._test_h36m_xyz_impl)
         self._test_h36m_angle = jax.jit(self._test_h36m_angle_impl)
@@ -239,6 +240,25 @@ class Trainer:
             rng=new_rng,
         )
         return new_state, loss
+
+    def _train_epoch_scan_impl(self, state: TrainState, frames, starts, w):
+        """A whole epoch as one lax.scan over (n_batches, B) index arrays.
+
+        One XLA dispatch per epoch instead of one per step — the per-step
+        host->device dispatch latency (milliseconds on tunneled runtimes)
+        disappears entirely. Returns weighted (loss_sum, weight_sum) so the
+        epoch mean matches the reference's sample-weighted accumulation
+        (train_mixer_h36m.py:195-197).
+        """
+
+        def step(carry, batch_idx):
+            st = carry
+            s, ww = batch_idx
+            st, loss = self._train_step_impl(st, frames, s, ww)
+            return st, (loss * jnp.sum(ww), jnp.sum(ww))
+
+        state, (loss_sums, w_sums) = jax.lax.scan(step, state, (starts, w))
+        return state, jnp.sum(loss_sums) / jnp.maximum(jnp.sum(w_sums), 1.0)
 
     # -------------------------------------------------------------- val step
 
@@ -342,8 +362,31 @@ class Trainer:
         return starts, w
 
     def train_epoch(
-        self, state: TrainState, corpus: WindowedCorpus, frames, batch_size: int, seed: int
+        self, state: TrainState, corpus: WindowedCorpus, frames, batch_size: int,
+        seed: int, scan: bool = True,
     ) -> tuple[TrainState, float]:
+        """One epoch over shuffled windows.
+
+        ``scan=True`` (default) runs the whole epoch as a single jitted
+        lax.scan dispatch; ``scan=False`` dispatches per step (useful for
+        debugging / host-side callbacks between steps).
+        """
+        if scan:
+            all_starts, all_w = [], []
+            for starts, w in batch_starts(corpus, batch_size, shuffle=True, seed=seed):
+                all_starts.append(starts)
+                all_w.append(w)
+            starts = jnp.asarray(np.stack(all_starts))
+            w = jnp.asarray(np.stack(all_w))
+            if self._batch_sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh = NamedSharding(self.mesh, P(None, "data"))
+                starts = jax.device_put(starts, sh)
+                w = jax.device_put(w, sh)
+            state, mean_loss = self._train_epoch_scan(state, frames, starts, w)
+            return state, float(mean_loss)
+
         total, n = 0.0, 0
         for starts, w in batch_starts(corpus, batch_size, shuffle=True, seed=seed):
             starts, w = self._put_batch(starts, w)
