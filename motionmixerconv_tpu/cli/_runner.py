@@ -118,6 +118,23 @@ def _steps_per_epoch(n: int, batch_size: int) -> int:
     return max(1, (n + batch_size - 1) // batch_size)
 
 
+
+def _combine_test_sets(test_sets):
+    """Concatenate per-action corpora into one (frames, starts, group_ids)."""
+    frames_list, starts_list, gid_list = [], [], []
+    off = 0
+    for gi, ds in enumerate(test_sets.values()):
+        frames_list.append(ds.frames)
+        starts_list.append(ds.window_starts + off)
+        gid_list.append(np.full(len(ds), gi, np.int64))
+        off += ds.frames.shape[0]
+    return (
+        jnp.asarray(np.concatenate(frames_list)),
+        np.concatenate(starts_list),
+        np.concatenate(gid_list),
+        list(test_sets.keys()),
+    )
+
 def run_h36m(args, model=None, model_name: Optional[str] = None):
     """H36M direct training (train_mixer_h36m.py:47-279 + per-epoch tests)."""
     mode = "xyz" if args.loss_type == "mpjpe" else "angle"
@@ -161,7 +178,7 @@ def run_h36m(args, model=None, model_name: Optional[str] = None):
 
     frames = jnp.asarray(dataset.frames)
     vframes = jnp.asarray(vald.frames)
-    tframes = {a: jnp.asarray(ds.frames) for a, ds in test_sets.items()}
+    test_frames, test_starts, test_gids, action_names = _combine_test_sets(test_sets)
 
     history = {"train": [], "val": [], "test": [], "metrics": {}}
     if args.loss_type == "mpjpe":
@@ -179,19 +196,16 @@ def run_h36m(args, model=None, model_name: Optional[str] = None):
         logger.add_scalar(
             "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
         )
-        val_loss = trainer.evaluate(state, vald, vframes, args.batch_size, kind="val")
+        val_loss = trainer.validate(state, vald, vframes, args.batch_size)
 
-        m1_sum = m2_sum = n_sum = 0.0
-        per_action = {}
-        for a, ds in test_sets.items():
-            m1, m2 = trainer.evaluate(
-                state, ds, tframes[a], args.batch_size_test, kind=test_kind
-            )
-            per_action[a] = (m1, m2)
-            m1_sum += m1 * len(ds)
-            m2_sum += m2 * len(ds)
-            n_sum += len(ds)
-        m1_avg, m2_avg = m1_sum / n_sum, m2_sum / n_sum
+        m1s, m2s, ns = trainer.evaluate_grouped(
+            state, test_frames, test_starts, test_gids,
+            len(action_names), args.batch_size_test, test_kind,
+        )
+        per_action = {
+            a: (m1s[i] / ns[i], m2s[i] / ns[i]) for i, a in enumerate(action_names)
+        }
+        m1_avg, m2_avg = m1s.sum() / ns.sum(), m2s.sum() / ns.sum()
 
         history["train"].append(train_loss)
         history["val"].append(val_loss)
@@ -263,7 +277,7 @@ def run_h36m_autoregressive(args, model=None, model_name: Optional[str] = None):
 
     frames = jnp.asarray(dataset.frames)
     vframes = jnp.asarray(vald.frames)
-    tframes = {a: jnp.asarray(ds.frames) for a, ds in test_sets.items()}
+    test_frames, test_starts, test_gids, action_names = _combine_test_sets(test_sets)
 
     history = {"train": [], "val": [], "test": [], "metrics": {}}
     if args.loss_type == "mpjpe":
@@ -281,19 +295,16 @@ def run_h36m_autoregressive(args, model=None, model_name: Optional[str] = None):
         logger.add_scalar(
             "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
         )
-        val_loss = trainer.evaluate_ar(state, vald, vframes, args.batch_size, kind="val")
+        val_loss = trainer.validate(state, vald, vframes, args.batch_size)
 
-        m1_sum = m2_sum = n_sum = 0.0
-        per_action = {}
-        for a, ds in test_sets.items():
-            m1, m2 = trainer.evaluate_ar(
-                state, ds, tframes[a], args.batch_size_test, kind="test"
-            )
-            per_action[a] = (m1, m2)
-            m1_sum += m1 * len(ds)
-            m2_sum += m2 * len(ds)
-            n_sum += len(ds)
-        m1_avg, m2_avg = m1_sum / n_sum, m2_sum / n_sum
+        m1s, m2s, ns = trainer.evaluate_grouped(
+            state, test_frames, test_starts, test_gids,
+            len(action_names), args.batch_size_test, "ar",
+        )
+        per_action = {
+            a: (m1s[i] / ns[i], m2s[i] / ns[i]) for i, a in enumerate(action_names)
+        }
+        m1_avg, m2_avg = m1s.sum() / ns.sum(), m2s.sum() / ns.sum()
 
         history["train"].append(train_loss)
         history["val"].append(val_loss)
@@ -364,7 +375,7 @@ def run_ais(args, model=None, model_name: Optional[str] = None):
 
     frames = jnp.asarray(dataset.frames)
     vframes = jnp.asarray(vald.frames)
-    tframes = {a: jnp.asarray(ds.frames) for a, ds in test_sets.items()}
+    test_frames, test_starts, test_gids, action_names = _combine_test_sets(test_sets)
 
     history = {"train": [], "val": [], "test": [], "metrics": {"auc_pck": [], "mpjpe": []}}
     for epoch in range(args.n_epochs):
@@ -376,18 +387,17 @@ def run_ais(args, model=None, model_name: Optional[str] = None):
         logger.add_scalar(
             "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
         )
-        val_loss = trainer.evaluate(state, vald, vframes, args.batch_size, kind="val")
-        m1_sum = m2_sum = n_sum = 0.0
-        per_action = {}
-        for a, ds in test_sets.items():
-            mp, auc = trainer.evaluate(
-                state, ds, tframes[a], args.batch_size_test, kind="simple"
-            )
-            per_action[a] = (mp * 1000.0, auc)  # mm
-            m1_sum += mp * 1000.0 * len(ds)
-            m2_sum += auc * len(ds)
-            n_sum += len(ds)
-        m1_avg, m2_avg = m1_sum / n_sum, m2_sum / n_sum
+        val_loss = trainer.validate(state, vald, vframes, args.batch_size)
+        m1s, m2s, ns = trainer.evaluate_grouped(
+            state, test_frames, test_starts, test_gids,
+            len(action_names), args.batch_size_test, "simple",
+        )
+        per_action = {
+            a: (m1s[i] / ns[i] * 1000.0, m2s[i] / ns[i])  # mm
+            for i, a in enumerate(action_names)
+        }
+        m1_avg = m1s.sum() / ns.sum() * 1000.0
+        m2_avg = m2s.sum() / ns.sum()
 
         history["train"].append(train_loss)
         history["val"].append(val_loss)
@@ -451,13 +461,14 @@ def run_ais_autoregressive(args, model=None, model_name: Optional[str] = None):
         input_n=args.input_n_dataset, output_n=args.output_n_dataset,
         input_n_model=args.input_n_model, output_n_model=args.output_n_model,
         step_window=args.step_window,
+        auc_scale=1.0,  # AIS AUC on raw meters (train_autoreg_mixer_ais.py:266-268)
     )
     state = trainer.init_state(jax.random.PRNGKey(getattr(args, "seed", 0)))
     print(f"total number of parameters of the network is: {param_count(state)}")
 
     frames = jnp.asarray(dataset.frames)
     vframes = jnp.asarray(vald.frames)
-    tframes = {a: jnp.asarray(ds.frames) for a, ds in test_sets.items()}
+    test_frames, test_starts, test_gids, action_names = _combine_test_sets(test_sets)
 
     history = {"train": [], "val": [], "test": [],
                "metrics": {"auc_pck": [], "mpjpe": []}}
@@ -471,18 +482,17 @@ def run_ais_autoregressive(args, model=None, model_name: Optional[str] = None):
         logger.add_scalar(
             "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
         )
-        val_loss = trainer.evaluate_ar(state, vald, vframes, args.batch_size, kind="val")
-        m1_sum = m2_sum = n_sum = 0.0
-        per_action = {}
-        for a, ds in test_sets.items():
-            loss, auc = trainer.evaluate_ar(
-                state, ds, tframes[a], args.batch_size_test, kind="test"
-            )
-            per_action[a] = (loss * 1000.0, auc)
-            m1_sum += loss * 1000.0 * len(ds)
-            m2_sum += auc * len(ds)
-            n_sum += len(ds)
-        m1_avg, m2_avg = m1_sum / n_sum, m2_sum / n_sum
+        val_loss = trainer.validate(state, vald, vframes, args.batch_size)
+        m1s, m2s, ns = trainer.evaluate_grouped(
+            state, test_frames, test_starts, test_gids,
+            len(action_names), args.batch_size_test, "ar",
+        )
+        per_action = {
+            a: (m1s[i] / ns[i] * 1000.0, m2s[i] / ns[i])
+            for i, a in enumerate(action_names)
+        }
+        m1_avg = m1s.sum() / ns.sum() * 1000.0
+        m2_avg = m2s.sum() / ns.sum()
 
         history["train"].append(train_loss)
         history["val"].append(val_loss)
@@ -556,7 +566,7 @@ def run_amass(args, model=None, model_name: Optional[str] = None):
         logger.add_scalar(
             "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
         )
-        val_loss = trainer.evaluate(state, vald, vframes, args.batch_size, kind="val")
+        val_loss = trainer.validate(state, vald, vframes, args.batch_size)
         test_loss = amass_test(state, test, tframes, args.batch_size)
         history["train"].append(train_loss)
         history["val"].append(val_loss)

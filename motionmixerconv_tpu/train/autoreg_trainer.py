@@ -55,6 +55,7 @@ class AutoregressiveTrainer(Trainer):
         step_window: int,
         input_scale: float = 1.0,
         loss_scale: float = 1.0,
+        auc_scale: float = 1e-3,
         mesh=None,
     ):
         super().__init__(
@@ -65,6 +66,9 @@ class AutoregressiveTrainer(Trainer):
         self.input_n_model = input_n_model
         self.output_n_model = output_n_model
         self.step_window = step_window
+        # h36m autoreg AUC-PCK divides by 1000 (train_autoreg_mixer_h36m.py:327-329);
+        # the AIS variant does not (train_autoreg_mixer_ais.py:266-268) -> pass 1.0.
+        self.auc_scale = auc_scale
         self._train_step_tf = jax.jit(
             lambda s, f, st, w: self._ar_train_impl(s, f, st, w, True),
             donate_argnums=0,
@@ -158,27 +162,12 @@ class AutoregressiveTrainer(Trainer):
         return jnp.sum(per_sample * self.loss_scale * w), jnp.sum(w)
 
     def _ar_test_impl(self, variables, frames, starts, w):
-        """Rollout loss + metric (train_autoreg_mixer_h36m.py:261-357,:360-412).
+        """Rollout loss + metric sums (train_autoreg_mixer_h36m.py:261-357,:360-412).
 
-        mpjpe: (rollout mpjpe, AUC-PCK of the stitched prediction / 1000).
-        angle: (euler error, joint-angle error) on the re-inserted full frame.
+        mpjpe: (rollout mpjpe, AUC-PCK of the stitched prediction, scaled by
+        ``auc_scale``). angle: (euler, joint-angle) on the full frame.
         """
-        seq_len = self.input_n + self.output_n
-        batch = gather_windows(frames, starts, seq_len)
-        seq = jnp.take(batch, jnp.asarray(self.dim_used), axis=2) * self.input_scale
-        per_loss, full_pred = self._rollout(variables, seq, teacher_forcing=False)
-        gt = seq[:, self.input_n :]
-        b = gt.shape[0]
-        if self.loss_type == "mpjpe":
-            per_metric = _per_sample_auc_pck(
-                full_pred.reshape(b, self.output_n, -1, 3) / 1000.0,
-                gt.reshape(b, self.output_n, -1, 3) / 1000.0,
-            )
-        else:
-            full_gt = batch[:, self.input_n :]
-            all_seq = full_gt.at[:, :, jnp.asarray(self.dim_used)].set(full_pred)
-            per_loss = _per_sample_euler(all_seq, full_gt)
-            per_metric = _per_sample_joint_angle(all_seq, full_gt)
+        per_loss, per_metric = self._ar_test_per_sample(variables, frames, starts)
         return jnp.sum(per_loss * w), jnp.sum(per_metric * w), jnp.sum(w)
 
     def _ar_epoch_scan_impl(self, state, frames, starts, w, teacher_forcing):
@@ -191,6 +180,41 @@ class AutoregressiveTrainer(Trainer):
 
         state, (loss_sums, w_sums) = jax.lax.scan(step, state, (starts, w))
         return state, jnp.sum(loss_sums) / jnp.maximum(jnp.sum(w_sums), 1.0)
+
+    def _ar_test_per_sample(self, variables, frames, starts):
+        """Per-sample (loss, metric) of the rollout test (see _ar_test_impl)."""
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        seq = jnp.take(batch, jnp.asarray(self.dim_used), axis=2) * self.input_scale
+        per_loss, full_pred = self._rollout(variables, seq, teacher_forcing=False)
+        gt = seq[:, self.input_n :]
+        b = gt.shape[0]
+        if self.loss_type == "mpjpe":
+            per_metric = _per_sample_auc_pck(
+                full_pred.reshape(b, self.output_n, -1, 3) * self.auc_scale,
+                gt.reshape(b, self.output_n, -1, 3) * self.auc_scale,
+            )
+        else:
+            full_gt = batch[:, self.input_n :]
+            all_seq = full_gt.at[:, :, jnp.asarray(self.dim_used)].set(full_pred)
+            per_loss = _per_sample_euler(all_seq, full_gt)
+            per_metric = _per_sample_joint_angle(all_seq, full_gt)
+        return per_loss, per_metric
+
+    def _ar_val_per_sample(self, variables, frames, starts):
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        seq = jnp.take(batch, jnp.asarray(self.dim_used), axis=2) * self.input_scale
+        per_sample, _ = self._rollout(variables, seq, teacher_forcing=False)
+        per = per_sample * self.loss_scale
+        return per, per
+
+    def _per_sample_for_kind(self, kind: str):
+        if kind == "ar":
+            return self._ar_test_per_sample
+        if kind == "val":
+            return self._ar_val_per_sample
+        return super()._per_sample_for_kind(kind)
 
     # ------------------------------------------------------------ epoch APIs
 

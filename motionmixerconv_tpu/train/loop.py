@@ -282,73 +282,25 @@ class Trainer:
     # ---------------------------------------------------- h36m xyz test step
 
     def _test_h36m_xyz_impl(self, variables, frames, starts, w):
-        """Full-skeleton 32-joint MPJPE + 22-joint AUC-PCK.
+        """Full-skeleton 32-joint MPJPE + 22-joint AUC-PCK sums.
 
-        Parity: train_mixer_h36m.py:324-397 — prediction re-inserted into the
-        96-dim skeleton, then duplicate joints overwritten from their 'equal'
-        source joints.
+        Parity: train_mixer_h36m.py:324-397.
         """
-        seq_len = self.input_n + self.output_n
-        batch = gather_windows(frames, starts, seq_len)
-        model_in, seq_gt, last = self._prepare(batch)
-        pred, _ = self._forward(variables, model_in, training=False)
-        if self.delta_x:
-            pred = delta_2_gt(pred, last)
-
-        full_gt = batch[:, self.input_n : self.input_n + self.output_n]
-        dim_used = jnp.asarray(self.dim_used)
-        ignore = jnp.asarray(H36M_INDEX_TO_IGNORE_EVAL)
-        equal = jnp.asarray(H36M_INDEX_TO_EQUAL_EVAL)
-
-        all_seq = full_gt.at[:, :, dim_used].set(pred)
-        all_seq = all_seq.at[:, :, ignore].set(all_seq[:, :, equal])
-        all_gt = full_gt.at[:, :, ignore].set(full_gt[:, :, equal])
-
-        b = all_seq.shape[0]
-        per_mpjpe = _per_sample_mpjpe(
-            all_seq.reshape(b, self.output_n, 32, 3),
-            all_gt.reshape(b, self.output_n, 32, 3),
-        )
-        per_auc = _per_sample_auc_pck(
-            pred.reshape(b, self.output_n, -1, 3) / 1000.0,
-            seq_gt.reshape(b, self.output_n, -1, 3) / 1000.0,
-        )
+        per_mpjpe, per_auc = self._test_h36m_xyz_per_sample(variables, frames, starts)
         return jnp.sum(per_mpjpe * w), jnp.sum(per_auc * w), jnp.sum(w)
 
     # -------------------------------------------------- h36m angle test step
 
     def _test_h36m_angle_impl(self, variables, frames, starts, w):
-        """Euler + joint-angle error on the re-inserted full 99-dim frame.
-
-        Parity: train_mixer_h36m.py:445-463.
-        """
-        seq_len = self.input_n + self.output_n
-        batch = gather_windows(frames, starts, seq_len)
-        model_in, seq_gt, last = self._prepare(batch)
-        pred, _ = self._forward(variables, model_in, training=False)
-
-        full_gt = batch[:, self.input_n : self.input_n + self.output_n]
-        all_seq = full_gt.at[:, :, jnp.asarray(self.dim_used)].set(pred)
-        per_euler = _per_sample_euler(all_seq, full_gt)
-        per_ja = _per_sample_joint_angle(all_seq, full_gt)
+        """Euler + joint-angle error sums (train_mixer_h36m.py:445-463)."""
+        per_euler, per_ja = self._test_h36m_angle_per_sample(variables, frames, starts)
         return jnp.sum(per_euler * w), jnp.sum(per_ja * w), jnp.sum(w)
 
     # ------------------------------------------------------ simple test step
 
     def _test_simple_impl(self, variables, frames, starts, w):
-        """dim_used-space MPJPE + AUC-PCK (AIS-style, train_mixer_ais.py:340-357)."""
-        seq_len = self.input_n + self.output_n
-        batch = gather_windows(frames, starts, seq_len)
-        model_in, seq_gt, last = self._prepare(batch)
-        pred, _ = self._forward(variables, model_in, training=False)
-        if self.delta_x:
-            pred = delta_2_gt(pred, last)
-        b = pred.shape[0]
-        per_mpjpe = _per_sample_mpjpe(pred, seq_gt) * self.loss_scale
-        per_auc = _per_sample_auc_pck(
-            pred.reshape(b, self.output_n, -1, 3),
-            seq_gt.reshape(b, self.output_n, -1, 3),
-        )
+        """dim_used-space MPJPE + AUC-PCK sums (train_mixer_ais.py:340-357)."""
+        per_mpjpe, per_auc = self._test_simple_per_sample(variables, frames, starts)
         return jnp.sum(per_mpjpe * w), jnp.sum(per_auc * w), jnp.sum(w)
 
     # ------------------------------------------------------------ epoch APIs
@@ -395,6 +347,145 @@ class Trainer:
             total += float(loss) * k
             n += k
         return state, total / max(n, 1)
+
+    def evaluate_grouped(
+        self, state: TrainState, frames, window_starts: np.ndarray,
+        group_ids: np.ndarray, n_groups: int, batch_size: int, kind: str,
+    ):
+        """Grouped (e.g. per-action) evaluation in ONE jitted scan dispatch.
+
+        The reference evaluates each action with its own dataset + loader
+        (train_mixer_h36m.py:311-323); here every group's windows live in one
+        corpus and per-group sums come from segment reductions inside a
+        single lax.scan over batches.
+
+        Returns (m1_per_group, m2_per_group, n_per_group) numpy arrays.
+        """
+        n = len(window_starts)
+        bs = min(batch_size, n)
+        n_batches = (n + bs - 1) // bs
+        pad = n_batches * bs - n
+        starts = np.concatenate([window_starts, np.zeros(pad, np.int64)])
+        w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+        gids = np.concatenate([group_ids, np.zeros(pad, np.int64)])
+        starts = jnp.asarray(starts.reshape(n_batches, bs).astype(np.int32))
+        w = jnp.asarray(w.reshape(n_batches, bs))
+        gids = jnp.asarray(gids.reshape(n_batches, bs).astype(np.int32))
+
+        run = self._grouped_fn(kind, n_groups)
+        m1, m2, nn = run(state.variables(), frames, starts, w, gids)
+        return np.asarray(m1), np.asarray(m2), np.asarray(nn)
+
+    def _grouped_fn(self, kind: str, n_groups: int):
+        """Cached jitted scan for grouped eval (one compile per kind/groups)."""
+        if not hasattr(self, "_grouped_cache"):
+            self._grouped_cache = {}
+        key = (kind, n_groups)
+        if key in self._grouped_cache:
+            return self._grouped_cache[key]
+        per_sample_fn = self._per_sample_for_kind(kind)
+
+        @jax.jit
+        def run(variables, frames, starts, w, gids):
+            def step(carry, batch):
+                s, ww, gg = batch
+                per1, per2 = per_sample_fn(variables, frames, s)
+                m1 = jax.ops.segment_sum(per1 * ww, gg, num_segments=n_groups)
+                m2 = jax.ops.segment_sum(per2 * ww, gg, num_segments=n_groups)
+                nn = jax.ops.segment_sum(ww, gg, num_segments=n_groups)
+                c1, c2, cn = carry
+                return (c1 + m1, c2 + m2, cn + nn), None
+
+            zero = jnp.zeros((n_groups,), jnp.float32)
+            (m1, m2, nn), _ = jax.lax.scan(step, (zero, zero, zero), (starts, w, gids))
+            return m1, m2, nn
+
+        self._grouped_cache[key] = run
+        return run
+
+    def _per_sample_for_kind(self, kind: str):
+        return {
+            "val": self._val_per_sample,
+            "h36m_xyz": self._test_h36m_xyz_per_sample,
+            "h36m_angle": self._test_h36m_angle_per_sample,
+            "simple": self._test_simple_per_sample,
+        }[kind]
+
+    def _val_per_sample(self, variables, frames, starts):
+        """Per-sample validation loss (duplicated into both metric slots)."""
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        model_in, seq_gt, last = self._prepare(batch)
+        pred, _ = self._forward(variables, model_in, training=False)
+        if self.delta_x:
+            pred = delta_2_gt(pred, last)
+        if self.loss_type == "mpjpe":
+            per = _per_sample_mpjpe(pred, seq_gt) * self.loss_scale
+        else:
+            full_gt = batch[:, self.input_n : self.input_n + self.output_n]
+            all_joints = full_gt.at[:, :, jnp.asarray(self.dim_used)].set(pred)
+            per = _per_sample_euler(all_joints, full_gt)
+        return per, per
+
+    def validate(self, state: TrainState, corpus: WindowedCorpus, frames,
+                 batch_size: int) -> float:
+        """Validation loss over the corpus in one scanned dispatch."""
+        m1, _, nn = self.evaluate_grouped(
+            state, frames, corpus.window_starts,
+            np.zeros(len(corpus), np.int64), 1, batch_size, "val",
+        )
+        return float(m1[0] / max(nn[0], 1.0))
+
+    # per-sample variants of the test metrics (shared by evaluate/evaluate_grouped)
+
+    def _test_h36m_xyz_per_sample(self, variables, frames, starts):
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        model_in, seq_gt, last = self._prepare(batch)
+        pred, _ = self._forward(variables, model_in, training=False)
+        if self.delta_x:
+            pred = delta_2_gt(pred, last)
+        full_gt = batch[:, self.input_n : self.input_n + self.output_n]
+        dim_used = jnp.asarray(self.dim_used)
+        ignore = jnp.asarray(H36M_INDEX_TO_IGNORE_EVAL)
+        equal = jnp.asarray(H36M_INDEX_TO_EQUAL_EVAL)
+        all_seq = full_gt.at[:, :, dim_used].set(pred)
+        all_seq = all_seq.at[:, :, ignore].set(all_seq[:, :, equal])
+        all_gt = full_gt.at[:, :, ignore].set(full_gt[:, :, equal])
+        b = all_seq.shape[0]
+        per_mpjpe = _per_sample_mpjpe(
+            all_seq.reshape(b, self.output_n, 32, 3),
+            all_gt.reshape(b, self.output_n, 32, 3),
+        )
+        per_auc = _per_sample_auc_pck(
+            pred.reshape(b, self.output_n, -1, 3) / 1000.0,
+            seq_gt.reshape(b, self.output_n, -1, 3) / 1000.0,
+        )
+        return per_mpjpe, per_auc
+
+    def _test_h36m_angle_per_sample(self, variables, frames, starts):
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        model_in, seq_gt, last = self._prepare(batch)
+        pred, _ = self._forward(variables, model_in, training=False)
+        full_gt = batch[:, self.input_n : self.input_n + self.output_n]
+        all_seq = full_gt.at[:, :, jnp.asarray(self.dim_used)].set(pred)
+        return _per_sample_euler(all_seq, full_gt), _per_sample_joint_angle(all_seq, full_gt)
+
+    def _test_simple_per_sample(self, variables, frames, starts):
+        seq_len = self.input_n + self.output_n
+        batch = gather_windows(frames, starts, seq_len)
+        model_in, seq_gt, last = self._prepare(batch)
+        pred, _ = self._forward(variables, model_in, training=False)
+        if self.delta_x:
+            pred = delta_2_gt(pred, last)
+        b = pred.shape[0]
+        per_mpjpe = _per_sample_mpjpe(pred, seq_gt) * self.loss_scale
+        per_auc = _per_sample_auc_pck(
+            pred.reshape(b, self.output_n, -1, 3),
+            seq_gt.reshape(b, self.output_n, -1, 3),
+        )
+        return per_mpjpe, per_auc
 
     def evaluate(
         self, state: TrainState, corpus: WindowedCorpus, frames, batch_size: int,
