@@ -135,6 +135,53 @@ def _combine_test_sets(test_sets):
         list(test_sets.keys()),
     )
 
+def export_h36m_visualizations(trainer, state, test_set, log_dir: str,
+                               action: str, n_windows: int = 2) -> list:
+    """Render prediction-vs-gt GIFs for a few test windows.
+
+    Parity with the save_results path of test_mpjpe
+    (train_mixer_h36m.py:399-411): full-skeleton prediction (equal-joint
+    re-inserted) in yellow over blue ground truth, preceded by the blue
+    input frames.
+    """
+    import jax.numpy as jnp
+
+    from ..data.constants import (
+        H36M_INDEX_TO_EQUAL_EVAL,
+        H36M_INDEX_TO_IGNORE_EVAL,
+    )
+    from ..data.windows import gather_windows
+    from ..viz import visualize_batch
+
+    frames = jnp.asarray(test_set.frames)
+    starts = jnp.asarray(test_set.window_starts[10 : 10 + n_windows].astype(np.int32))
+    seq_len = trainer.input_n + trainer.output_n
+    batch = gather_windows(frames, starts, seq_len)
+    model_in, seq_gt, last = trainer._prepare(batch)
+    pred = trainer.model.apply(state.variables(), model_in, training=False)
+    if trainer.delta_x:
+        from ..metrics.metrics import delta_2_gt
+
+        pred = delta_2_gt(pred, last)
+
+    full_in = np.asarray(batch[:, : trainer.input_n])
+    full_gt = np.asarray(batch[:, trainer.input_n :])
+    all_seq = np.array(full_gt)
+    all_seq[:, :, trainer.dim_used] = np.asarray(pred)
+    all_seq[:, :, H36M_INDEX_TO_IGNORE_EVAL] = all_seq[:, :, H36M_INDEX_TO_EQUAL_EVAL]
+    gt = np.array(full_gt)
+    gt[:, :, H36M_INDEX_TO_IGNORE_EVAL] = gt[:, :, H36M_INDEX_TO_EQUAL_EVAL]
+
+    out_dir = os.path.join(log_dir, "visualization")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(all_seq.shape[0]):
+        path = os.path.join(out_dir, f"{action}_{i}.gif")
+        visualize_batch(all_seq[i], path, batch_gt=gt[i], batch_train=full_in[i])
+        paths.append(path)
+    return paths
+
+
 def run_h36m(args, model=None, model_name: Optional[str] = None):
     """H36M direct training (train_mixer_h36m.py:47-279 + per-epoch tests)."""
     mode = "xyz" if args.loss_type == "mpjpe" else "angle"
@@ -230,6 +277,13 @@ def run_h36m(args, model=None, model_name: Optional[str] = None):
             f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} "
             f"test {m1_avg:.4f} ({time.time() - t0:.1f}s)"
         )
+
+    if getattr(args, "visualize", False) and args.loss_type == "mpjpe":
+        first_action = action_names[0]
+        paths = export_h36m_visualizations(
+            trainer, state, test_sets[first_action], log_dir, first_action
+        )
+        print(f"wrote {len(paths)} visualization GIFs to {log_dir}/visualization")
 
     logger.close()
     return history, state, trainer

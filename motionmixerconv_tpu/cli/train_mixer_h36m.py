@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model_type", type=str, default="conv",
                         choices=["conv", "mlp"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--visualize", action="store_true",
+                        help="export prediction-vs-gt GIFs after training")
     return parser
 
 

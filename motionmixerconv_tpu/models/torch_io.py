@@ -196,3 +196,67 @@ def convert_conv_mixer(sd: Flat, num_blocks: int) -> Dict[str, Any]:
     if batch_stats:
         out["batch_stats"] = batch_stats
     return out
+
+
+# --------------------------------------------------------------- export side
+
+
+def _linear_out(out: Flat, prefix: str, p: dict) -> None:
+    out[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _se_out(out: Flat, prefix: str, p: dict, seq_name: str) -> None:
+    out[f"{prefix}.{seq_name}.0.weight"] = np.ascontiguousarray(
+        np.asarray(p["fc1"]["kernel"]).T
+    )
+    out[f"{prefix}.{seq_name}.2.weight"] = np.ascontiguousarray(
+        np.asarray(p["fc2"]["kernel"]).T
+    )
+
+
+def _layernorm_out(out: Flat, prefix: str, p: dict) -> None:
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def export_mlp_mixer(variables: Dict[str, Any], num_blocks: int) -> Flat:
+    """flax MlpMixer variables -> reference torch state_dict arrays.
+
+    Inverse of ``convert_mlp_mixer``; lets models trained here be loaded by
+    the reference's torch code (``torch.save`` the returned dict after
+    wrapping values in torch tensors). Dropout-regularized configs only
+    (BatchNorm export not implemented).
+    """
+    p = variables["params"]
+    out: Flat = {}
+    w = np.asarray(p["conv"]["kernel"])  # (D, H)
+    out["conv.weight"] = np.ascontiguousarray(w.T)[:, None, None, :]
+    out["conv.bias"] = np.asarray(p["conv"]["bias"])
+    for i in range(num_blocks):
+        bp = p[f"Mixer_Block_{i}"]
+        tp = f"Mixer_Block.{i}"
+        if "LN1" in bp:
+            _layernorm_out(out, f"{tp}.LN1", bp["LN1"])
+        if "LN2" in bp:
+            _layernorm_out(out, f"{tp}.LN2", bp["LN2"])
+        for mb in ("mlp_block_token_mixing", "mlp_block_channel_mixing"):
+            if mb in bp:
+                _linear_out(out, f"{tp}.{mb}.fc1", bp[mb]["fc1"])
+                _linear_out(out, f"{tp}.{mb}.fc2", bp[mb]["fc2"])
+        if "se" in bp:
+            _se_out(out, f"{tp}.se", bp["se"], "excitation")
+    _layernorm_out(out, "LN", p["LN"])
+    _linear_out(out, "fc_out", p["fc_out"])
+    w = np.asarray(p["conv_out"]["kernel"])  # (T, P)
+    out["conv_out.weight"] = np.ascontiguousarray(w.T)[:, :, None]
+    out["conv_out.bias"] = np.asarray(p["conv_out"]["bias"])
+    return out
+
+
+def save_torch_state_dict(path: str, sd: Flat) -> None:
+    """Write an exported state_dict as a torch .pt file (requires torch)."""
+    import torch
+
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)

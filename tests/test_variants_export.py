@@ -1,0 +1,76 @@
+"""Mixer-variant block parity + torch state_dict export roundtrip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionmixerconv_tpu.models.mixer_mlp import MixerBlockChannel, MixerBlockToken
+from motionmixerconv_tpu.models import MlpMixer, convert_mlp_mixer
+from motionmixerconv_tpu.models.torch_io import export_mlp_mixer
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _block_variables(sd, has_ln1):
+    mb = "mlp_block_token_mixing" if has_ln1 else "mlp_block_channel_mixing"
+    ln = "LN1" if has_ln1 else "LN2"
+    params = {
+        mb: {
+            "fc1": {"kernel": sd[f"{mb}.fc1.weight"].T, "bias": sd[f"{mb}.fc1.bias"]},
+            "fc2": {"kernel": sd[f"{mb}.fc2.weight"].T, "bias": sd[f"{mb}.fc2.bias"]},
+        },
+        "se": {
+            "fc1": {"kernel": sd["se.excitation.0.weight"].T},
+            "fc2": {"kernel": sd["se.excitation.2.weight"].T},
+        },
+        ln: {"scale": sd[f"{ln}.weight"], "bias": sd[f"{ln}.bias"]},
+    }
+    return {"params": params}
+
+
+def test_token_only_variant_double_residual_quirk():
+    g = np.load(os.path.join(GOLDEN, "mixer_variants.npz"))
+    sd = {k[5:]: g[k] for k in g.files if k.startswith("tok::")}
+    block = MixerBlockToken(
+        tokens_mlp_dim=20, seq_len=10, hidden_dim=50, activation="gelu",
+        regularization=0.0, r_se=4, use_se=True,
+    )
+    variables = _block_variables(sd, has_ln1=True)
+    got = block.apply(variables, jnp.asarray(g["x"]), training=False)
+    np.testing.assert_allclose(got, g["out_tok"], atol=2e-5)
+
+
+def test_channel_only_variant():
+    g = np.load(os.path.join(GOLDEN, "mixer_variants.npz"))
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("ch::")}
+    block = MixerBlockChannel(
+        channels_mlp_dim=30, seq_len=10, hidden_dim=50, activation="gelu",
+        regularization=0.0, r_se=4, use_se=True,
+    )
+    variables = _block_variables(sd, has_ln1=False)
+    got = block.apply(variables, jnp.asarray(g["x"]), training=False)
+    np.testing.assert_allclose(got, g["out_ch"], atol=2e-5)
+
+
+def test_torch_export_roundtrip():
+    """flax -> torch state_dict -> flax reproduces the forward exactly."""
+    model = MlpMixer(
+        num_classes=66, num_blocks=2, hidden_dim=50, tokens_mlp_dim=20,
+        channels_mlp_dim=50, seq_len=10, pred_len=25, activation="mish",
+        regularization=0.1, input_size=66, r_se=8, use_se=True,
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 10, 66).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(5), x, training=False)
+    want = model.apply(variables, x, training=False)
+
+    sd = export_mlp_mixer(variables, num_blocks=2)
+    back = convert_mlp_mixer(sd, num_blocks=2)
+    got = model.apply(back, x, training=False)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # exported shapes match the torch layout conventions
+    assert sd["conv.weight"].shape == (50, 1, 1, 66)
+    assert sd["conv_out.weight"].shape == (25, 10, 1)
+    assert sd["Mixer_Block.0.mlp_block_token_mixing.fc1.weight"].shape == (20, 10)

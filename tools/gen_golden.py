@@ -251,6 +251,37 @@ def golden_models():
     _save_model_case("model_conv_mixer_once.npz", m, x)
 
 
+def golden_mixer_variants():
+    """Token-only / channel-only MixerBlock variants (incl. the double-residual
+    quirk of MixerBlock_Token, mlp_mixer.py:234-236)."""
+    from h36m.mlp_mixer import MixerBlock_Channel, MixerBlock_Token
+
+    rs = _seeded(31)
+    x = torch.from_numpy(rs.randn(4, 10, 50).astype(np.float32))
+
+    torch.manual_seed(6)
+    tok = MixerBlock_Token(tokens_mlp_dim=20, seq_len=10, hidden_dim=50,
+                           activation="gelu", regularization=0.0, r_se=4,
+                           use_se=True)
+    tok.eval()
+    with torch.no_grad():
+        out_tok = tok(x)
+
+    torch.manual_seed(7)
+    ch = MixerBlock_Channel(channels_mlp_dim=30, seq_len=10, hidden_dim=50,
+                            activation="gelu", regularization=0.0, r_se=4,
+                            use_se=True)
+    ch.eval()
+    with torch.no_grad():
+        out_ch = ch(x)
+
+    arrays = {f"tok::{k}": v.numpy() for k, v in tok.state_dict().items()}
+    arrays.update({f"ch::{k}": v.numpy() for k, v in ch.state_dict().items()})
+    arrays.update(x=x.numpy(), out_tok=out_tok.numpy(), out_ch=out_ch.numpy())
+    np.savez(os.path.join(OUT_DIR, "mixer_variants.npz"), **arrays)
+    print("mixer_variants.npz written")
+
+
 def golden_autoregressive():
     """Reference rollout (TF + closed-loop) on a fixed ConvMixer."""
     import argparse
@@ -360,3 +391,4 @@ if __name__ == "__main__":
     golden_models()
     golden_datasets()
     golden_autoregressive()
+    golden_mixer_variants()
