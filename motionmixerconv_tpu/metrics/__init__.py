@@ -1,4 +1,6 @@
 from .metrics import (
+    criterion_cos,
+    criterion_cos2,
     mpjpe_error,
     pck,
     auc_pck_metric,
@@ -9,6 +11,8 @@ from .metrics import (
 )
 
 __all__ = [
+    "criterion_cos",
+    "criterion_cos2",
     "mpjpe_error",
     "pck",
     "auc_pck_metric",

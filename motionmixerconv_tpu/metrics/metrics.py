@@ -115,3 +115,21 @@ def delta_2_gt(prediction: jnp.ndarray, last_timestep: jnp.ndarray) -> jnp.ndarr
     ``out[t] = last + sum(pred[0..t])``.
     """
     return last_timestep[:, None, :] + jnp.cumsum(prediction, axis=1)
+
+
+def criterion_cos(input_f: jnp.ndarray, target_f: jnp.ndarray) -> jnp.ndarray:
+    """Cosine similarity over axis 2 (h36m/utils/utils_mixer.py:10-13, unused
+    by the reference training paths but part of its metric surface)."""
+    return _cosine(input_f, target_f, axis=2)
+
+
+def criterion_cos2(input_f: jnp.ndarray, target_f: jnp.ndarray) -> jnp.ndarray:
+    """Cosine similarity over axis 1 (h36m/utils/utils_mixer.py:15-17)."""
+    return _cosine(input_f, target_f, axis=1)
+
+
+def _cosine(a: jnp.ndarray, b: jnp.ndarray, axis: int, eps: float = 1e-6) -> jnp.ndarray:
+    # torch CosineSimilarity clamps each norm at eps
+    na = jnp.maximum(jnp.linalg.norm(a, axis=axis), eps)
+    nb = jnp.maximum(jnp.linalg.norm(b, axis=axis), eps)
+    return jnp.sum(a * b, axis=axis) / (na * nb)

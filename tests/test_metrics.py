@@ -61,3 +61,23 @@ def test_l1_angle_loss_matches_formula():
     got = l1_angle_loss(jnp.asarray(pred), jnp.asarray(gt))
     want = np.mean(np.sum(np.abs(pred - gt), axis=2))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_cosine_criteria():
+    from motionmixerconv_tpu.metrics import criterion_cos, criterion_cos2
+
+    rs = np.random.RandomState(0)
+    a = rs.randn(4, 5, 6).astype(np.float32)
+    b = rs.randn(4, 5, 6).astype(np.float32)
+    # manual cosine with torch's eps-clamped norms
+    def ref(x, y, axis):
+        na = np.maximum(np.linalg.norm(x, axis=axis), 1e-6)
+        nb = np.maximum(np.linalg.norm(y, axis=axis), 1e-6)
+        return (x * y).sum(axis) / (na * nb)
+
+    np.testing.assert_allclose(
+        criterion_cos(jnp.asarray(a), jnp.asarray(b)), ref(a, b, 2), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        criterion_cos2(jnp.asarray(a), jnp.asarray(b)), ref(a, b, 1), atol=1e-6
+    )
