@@ -28,7 +28,7 @@ from ..data.constants import (
 )
 from ..data.windows import batch_starts, gather_windows
 from ..metrics.metrics import delta_2_gt
-from ..models import MlpMixer, convert_mlp_mixer, load_torch_state_dict
+from ..models import convert_mlp_mixer, load_torch_state_dict
 from ..train.loop import _make_delta, _per_sample_mpjpe
 from ._runner import build_mlp_mixer
 

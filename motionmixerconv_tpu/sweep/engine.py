@@ -12,7 +12,6 @@ run unchanged on either.
 
 from __future__ import annotations
 
-import itertools
 import json
 import sqlite3
 import time

@@ -18,7 +18,7 @@ Reference call-stack parity: h36m/train_mixer_h36m.py:47-279 (train),
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
