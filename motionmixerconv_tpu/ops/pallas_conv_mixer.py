@@ -1,0 +1,280 @@
+"""Fused ConvMixer core as a single Pallas TPU kernel (serving path).
+
+Split of labor with XLA: the harmonic PoseEncoder ends in the model's only
+large matmul (dimHarmonic up to 66*64*2 = 8448 -> dimPosEmb), which XLA
+already runs at full MXU efficiency — it stays outside. Everything after —
+num_blocks x (LN -> conv stencil -> SE -> residual, twice) -> LN ->
+time-upsample -> channel projection -> GELU -> fc_out — is ~30 small ops per
+block and fuses into ONE kernel here, with the batch tile and all weights
+VMEM-resident.
+
+The (kx, ky) 'same' convolutions (conv_nChan == 1, the reference CLI default,
+train_mixer_h36m.py:583) are computed as unrolled tap stencils: each tap is a
+lane/sublane roll + wrap mask + fused multiply-add, which is exactly what a
+small 'same' conv is on a VPU. torch's 'same' places the extra pad of
+even kernels on the right — tap offsets use floor((k-1)/2) left pad to match.
+
+Parity: h36m/conv_mixer_model.py:268-292 (block), :453-465 (decoder), incl.
+the shared-SE and 'once'-mode quirks. Inference only; conv_nChan must be 1
+(multi-channel configs fall back to XLA in serving.Predictor).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_mixer import LANE, _act, _ceil, _pad2, _row
+
+
+class FusedConvMixer:
+    """Padded weights + fused kernel for a conv_nChan=1 flax ConvMixer."""
+
+    def __init__(self, model, variables: dict):
+        cfg = model
+        if cfg.conv_nChan != 1:
+            raise NotImplementedError("fused ConvMixer kernel supports conv_nChan == 1")
+        if cfg.regularization == -1.0:
+            raise NotImplementedError("BatchNorm configs not supported")
+        self.model = model
+        self.variables = variables
+        self.T, self.P = cfg.in_nTP, cfg.out_nTP
+        self.E = cfg.dimPosEmb
+        self.D_out = cfg.dimPosOut
+        self.use_se = cfg.use_se
+        self.activation = cfg.activation
+        self.num_blocks = cfg.num_blocks
+        self.mode_twice = cfg.mode_conv == "twice"
+        self.Tp = max(_ceil(self.T, 8), 8)
+        self.Pp = max(_ceil(self.P, 8), 8)
+
+        k1 = tuple(cfg.conv1_kernel_shape)
+        if self.mode_twice:
+            k2 = cfg.conv2_kernel_shape or (
+                min(k1[1], self.T), min(k1[0], self.E)
+            )
+        else:
+            k2 = (1, 1)
+        self.k1, self.k2 = k1, k2
+
+        p = jax.device_get(variables["params"])
+        nb = self.num_blocks
+        Tp = self.Tp
+
+        def stack(fn, shape):
+            return np.stack(
+                [fn(p[f"Mixer_Block_{i}"]) for i in range(nb)]
+            ).reshape((nb,) + shape)
+
+        # conv kernels: flax layout (kh, kw, 1, 1) -> (kh, kw) tap tables;
+        # stored flattened to (nb, kh*kw padded to 8, 128) rows for SMEM-free
+        # 2-D reads (tap t at [i, t, 0]).
+        def conv_taps(bp, name, k):
+            w = np.asarray(bp[name]["conv"]["kernel"])[..., 0, 0]  # (kh, kw)
+            taps = np.zeros((max(_ceil(k[0] * k[1], 8), 8), LANE), np.float32)
+            taps[: k[0] * k[1], 0] = w.reshape(-1)
+            return taps
+
+        def conv_bias_row(bp, name):
+            # Conv bias is per-output-channel; with C_out == 1 it is a scalar
+            # broadcast over every (t, e) position -> full row.
+            return np.full((1, LANE), float(np.asarray(bp[name]["conv"]["bias"])[0]),
+                           np.float32)
+
+        self.c1_taps = stack(lambda b: conv_taps(b, "conv1", k1),
+                             (max(_ceil(k1[0] * k1[1], 8), 8), LANE))
+        self.c1_bias = stack(lambda b: conv_bias_row(b, "conv1"), (1, LANE))
+        self.ln1_g = stack(lambda b: _row(b["LN1"]["scale"], LANE), (1, LANE))
+        self.ln1_b = stack(lambda b: _row(b["LN1"]["bias"], LANE), (1, LANE))
+        if self.mode_twice:
+            self.c2_taps = stack(lambda b: conv_taps(b, "conv2", k2),
+                                 (max(_ceil(k2[0] * k2[1], 8), 8), LANE))
+            self.c2_bias = stack(lambda b: conv_bias_row(b, "conv2"), (1, LANE))
+            self.ln2_g = stack(lambda b: _row(b["LN2"]["scale"], LANE), (1, LANE))
+            self.ln2_b = stack(lambda b: _row(b["LN2"]["bias"], LANE), (1, LANE))
+        else:
+            z = np.zeros_like(self.c1_taps)
+            self.c2_taps, self.c2_bias = z, np.zeros_like(self.c1_bias)
+            self.ln2_g = np.zeros_like(self.ln1_g)
+            self.ln2_b = np.zeros_like(self.ln1_b)
+        if self.use_se:
+            self.se_w1 = stack(lambda b: _pad2(b["se"]["fc1"]["kernel"], Tp, Tp), (Tp, Tp))
+            self.se_w2 = stack(lambda b: _pad2(b["se"]["fc2"]["kernel"], Tp, Tp), (Tp, Tp))
+        else:
+            self.se_w1 = np.zeros((nb, Tp, Tp), np.float32)
+            self.se_w2 = np.zeros((nb, Tp, Tp), np.float32)
+
+        self.g_ln = _row(p["LN"]["scale"], LANE)
+        self.b_ln = _row(p["LN"]["bias"], LANE)
+        self.w_time = _pad2(p["conv_out"]["kernel"], Tp, self.Pp)
+        self.b_time = _row(p["conv_out"]["bias"], self.Pp)
+        # project_channels with C=1 is a scalar affine
+        self.proj_w = float(np.asarray(p["project_channels"]["kernel"])[0, 0])
+        self.proj_b = float(np.asarray(p["project_channels"]["bias"])[0])
+        self.w_out = _pad2(p["fc_out"]["kernel"], LANE, LANE)
+        self.b_out = _row(p["fc_out"]["bias"], LANE)
+
+        self._weights = [
+            self.ln1_g, self.ln1_b, self.c1_taps, self.c1_bias,
+            self.ln2_g, self.ln2_b, self.c2_taps, self.c2_bias,
+            self.se_w1, self.se_w2,
+            self.g_ln, self.b_ln, self.w_time, self.b_time,
+            self.w_out, self.b_out,
+        ]
+
+        # the XLA-side encoder: PoseEncoder up to (B, T, E), then squeeze C=1
+        enc_variables = {"params": {"embed_mlp": p["encoder"]["embed_mlp"],
+                                    "channelUpscaling": p["encoder"]["channelUpscaling"]}}
+        from ..models.encoding import PoseEncoder
+
+        encoder = PoseEncoder(
+            dimPosIn=cfg.dimPosIn, dimPosEmb=cfg.dimPosEmb, conv_nChan=1,
+            n_harmonic_functions=cfg.encoder_n_harmonic_functions,
+            omega0=cfg.encoder_omega0,
+        )
+        self._encode = lambda x: encoder.apply(enc_variables, x)[..., 0]
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
+    def _run(self, x: jnp.ndarray, block_b: int, interpret: bool) -> jnp.ndarray:
+        b = x.shape[0]
+        bp = _ceil(b, block_b)
+        y = self._encode(x)  # (B, T, E) — the big matmul stays in XLA
+        yp = jnp.zeros((bp, self.Tp, LANE), jnp.float32)
+        yp = yp.at[:b, : self.T, : self.E].set(y)
+
+        kernel = functools.partial(
+            _conv_mixer_kernel,
+            T=self.T, E=self.E, P=self.P, Tp=self.Tp, Pp=self.Pp,
+            num_blocks=self.num_blocks, use_se=self.use_se,
+            activation=self.activation, k1=self.k1, k2=self.k2,
+            mode_twice=self.mode_twice,
+            proj_w=self.proj_w, proj_b=self.proj_b,
+        )
+
+        def _const_map(nd):
+            return lambda i: (0,) * nd
+
+        in_specs = [
+            pl.BlockSpec((block_b, self.Tp, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] + [
+            pl.BlockSpec(w.shape, _const_map(w.ndim), memory_space=pltpu.VMEM)
+            for w in self._weights
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid=(bp // block_b,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (block_b, self.Pp, LANE), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((bp, self.Pp, LANE), jnp.float32),
+            interpret=interpret,
+        )(yp, *[jnp.asarray(w) for w in self._weights])
+        return out[:b, : self.P, : self.D_out]
+
+    def __call__(self, x: jnp.ndarray, block_b: int = 32,
+                 interpret: bool = False) -> jnp.ndarray:
+        block_b = min(block_b, _ceil(x.shape[0], 8))
+        return self._run(x, block_b, interpret)
+
+
+def _conv_mixer_kernel(
+    x_ref,
+    ln1_g, ln1_b, c1_taps, c1_bias,
+    ln2_g, ln2_b, c2_taps, c2_bias,
+    se_w1, se_w2,
+    g_ln, b_ln, w_time, b_time, w_out, b_out,
+    out_ref,
+    *, T, E, P, Tp, Pp, num_blocks, use_se, activation, k1, k2, mode_twice,
+    proj_w, proj_b,
+):
+    f32 = jnp.float32
+    e_mask = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANE), 2) < E
+    t_mask = jax.lax.broadcasted_iota(jnp.int32, (1, Tp, 1), 1) < T
+    t_mask_row = jax.lax.broadcasted_iota(jnp.int32, (1, Tp), 1) < T
+    p_mask = jax.lax.broadcasted_iota(jnp.int32, (1, Pp, 1), 1) < P
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (1, Tp, 1), 1)
+    e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANE), 2)
+    bb = x_ref.shape[0]
+
+    def layer_norm(y, gamma_row, beta_row):
+        s = jnp.sum(jnp.where(e_mask, y, 0.0), axis=-1, keepdims=True)
+        mu = s / E
+        d = jnp.where(e_mask, y - mu, 0.0)
+        var = jnp.sum(d * d, axis=-1, keepdims=True) / E
+        inv = jax.lax.rsqrt(var + 1e-5)
+        return d * inv * gamma_row[:, None, :] + beta_row[:, None, :]
+
+    def conv_same(y, taps_ref, bias_row, k):
+        """'same' (kh over T, kw over E) stencil: roll + wrap-mask + fma."""
+        kh, kw = k
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        acc = jnp.zeros_like(y)
+        for dt in range(kh):
+            for de in range(kw):
+                wgt = taps_ref[dt * kw + de, 0]
+                off_t, off_e = dt - ph, de - pw
+                z = y
+                if off_t:
+                    z = pltpu.roll(z, (-off_t) % Tp, 1)  # roll shift must be >= 0
+                if off_e:
+                    z = pltpu.roll(z, (-off_e) % LANE, 2)
+                # zero contributions that wrapped around the T/E edges
+                valid = (
+                    (t_idx + off_t >= 0) & (t_idx + off_t < T)
+                    & (e_idx + off_e >= 0) & (e_idx + off_e < E)
+                )
+                acc = acc + jnp.where(valid, z, 0.0) * wgt
+        return acc + bias_row[:, None, :]
+
+    def se_gate(i, y):
+        s = jnp.sum(jnp.where(e_mask, y, 0.0), axis=-1) / E  # (bb, Tp)
+        e = jnp.maximum(jnp.dot(s, se_w1[i], preferred_element_type=f32,
+                                precision=jax.lax.Precision.HIGHEST), 0.0)
+        e = jax.nn.sigmoid(jnp.dot(e, se_w2[i], preferred_element_type=f32,
+                                   precision=jax.lax.Precision.HIGHEST))
+        e = jnp.where(t_mask_row, e, 0.0)
+        return y * e[:, :, None]
+
+    def mm_lastdim(y3, w2, bias_row):
+        s, kdim = y3.shape[1], y3.shape[2]
+        y2 = y3.reshape(bb * s, kdim)
+        r = jnp.dot(y2, w2, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST) + bias_row
+        return r.reshape(bb, s, r.shape[-1])
+
+    y = x_ref[:]
+    for i in range(num_blocks):
+        z = layer_norm(y, ln1_g[i], ln1_b[i])
+        z = _act(activation, conv_same(z, c1_taps[i], c1_bias[i], k1))
+        z = jnp.where(e_mask & t_mask, z, 0.0)
+        if use_se:
+            z = se_gate(i, z)
+        y = y + z
+
+        if mode_twice:
+            z = layer_norm(y, ln2_g[i], ln2_b[i])
+            z = _act(activation, conv_same(z, c2_taps[i], c2_bias[i], k2))
+            z = jnp.where(e_mask & t_mask, z, 0.0)
+        else:
+            z = y  # LN2/conv2 are identity in 'once' mode
+        if use_se:
+            z = se_gate(i, z)  # shared SE applies in 'once' mode too (:287-292)
+        y = y + z
+
+    y = layer_norm(y, g_ln[:], b_ln[:])
+    yt = jnp.swapaxes(y, 1, 2)  # (bb, LANE, Tp)
+    yt = mm_lastdim(yt, w_time[:], b_time[:])  # (bb, LANE, Pp)
+    y = jnp.swapaxes(yt, 1, 2)  # (bb, Pp, LANE)
+    y = jnp.where(e_mask & p_mask, y, 0.0)
+    y = y * proj_w + proj_b  # project_channels with C=1
+    y = _act("gelu", y)  # decoder hardcodes GELU (conv_mixer_model.py:462)
+    out = mm_lastdim(y, w_out[:], b_out[:])
+    out_ref[:] = jnp.where(p_mask, out, 0.0)

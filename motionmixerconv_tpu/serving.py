@@ -40,11 +40,18 @@ class Predictor:
             lambda v, x: self.model.apply(v, x, training=False)
         )
         self._fused = None
-        if use_fused and isinstance(model, MlpMixer) and jax.default_backend() == "tpu":
+        if use_fused and jax.default_backend() == "tpu":
             try:
-                from .ops.pallas_mixer import FusedMlpMixer
+                if isinstance(model, MlpMixer):
+                    from .ops.pallas_mixer import FusedMlpMixer
 
-                self._fused = FusedMlpMixer(model, variables)
+                    self._fused = FusedMlpMixer(model, variables)
+                else:
+                    from .models.mixer_conv import ConvMixer
+                    from .ops.pallas_conv_mixer import FusedConvMixer
+
+                    if isinstance(model, ConvMixer):
+                        self._fused = FusedConvMixer(model, variables)
             except NotImplementedError:
                 self._fused = None
 

@@ -1,0 +1,55 @@
+"""Parity tests for the fused ConvMixer kernel (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionmixerconv_tpu.models import ConvMixer
+from motionmixerconv_tpu.ops.pallas_conv_mixer import FusedConvMixer
+
+
+def _case(mode_conv="twice", k1=(1, 3), activation="mish", use_se=True,
+          nharm=8, num_blocks=2, emb=50, in_ntp=10, out_ntp=25, dim=66):
+    model = ConvMixer(
+        num_blocks=num_blocks, dimPosIn=dim, dimPosEmb=emb, dimPosOut=dim,
+        in_nTP=in_ntp, out_nTP=out_ntp, conv_nChan=1,
+        conv1_kernel_shape=k1, conv1_stride=(1, 1), conv1_padding=None,
+        mode_conv=mode_conv, activation=activation, regularization=0.1,
+        use_se=use_se, r_se=2, use_max_pooling=False,
+        encoder_n_harmonic_functions=nharm, encoder_omega0=0.1,
+    )
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(19, in_ntp, dim).astype(np.float32) * 0.5)
+    variables = model.init(jax.random.PRNGKey(4), x, training=False)
+    want = model.apply(variables, x, training=False)
+    return FusedConvMixer(model, variables), x, want
+
+
+@pytest.mark.parametrize("k1", [(1, 3), (5, 5), (2, 4)])
+def test_fused_conv_mixer_kernels(k1):
+    fused, x, want = _case(k1=k1)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_fused_conv_mixer_once_mode():
+    fused, x, want = _case(mode_conv="once", activation="gelu")
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_fused_conv_mixer_no_se_no_harmonics():
+    fused, x, want = _case(use_se=False, nharm=-1)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_multichannel_rejected():
+    model = ConvMixer(
+        num_blocks=1, dimPosIn=66, dimPosEmb=32, dimPosOut=66, in_nTP=10,
+        out_nTP=5, conv_nChan=2, encoder_n_harmonic_functions=-1,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 66)))
+    with pytest.raises(NotImplementedError):
+        FusedConvMixer(model, variables)
