@@ -223,6 +223,17 @@ def run_h36m(args, model=None, model_name: Optional[str] = None):
     state = trainer.init_state(jax.random.PRNGKey(getattr(args, "seed", 0)))
     print(f"total number of parameters of the network is: {param_count(state)}")
 
+    start_epoch = 0
+    resume_path = getattr(args, "resume", None)
+    if resume_path:
+        # real resume (the reference's --load_checkpoint flag is dead,
+        # train_mixer_h36m.py:514): restores params + optimizer + epoch + rng.
+        from ..train import restore_checkpoint
+
+        state, last_epoch = restore_checkpoint(resume_path, state)
+        start_epoch = last_epoch + 1
+        print(f"resumed from {resume_path} at epoch {start_epoch}")
+
     frames = jnp.asarray(dataset.frames)
     vframes = jnp.asarray(vald.frames)
     test_frames, test_starts, test_gids, action_names = _combine_test_sets(test_sets)
@@ -234,7 +245,7 @@ def run_h36m(args, model=None, model_name: Optional[str] = None):
         history["metrics"] = {"joint_angle": [], "euler_angle": []}
 
     test_kind = "h36m_xyz" if args.loss_type == "mpjpe" else "h36m_angle"
-    for epoch in range(args.n_epochs):
+    for epoch in range(start_epoch, args.n_epochs):
         t0 = time.time()
         with profile_trace(profile_dir_from_env() if epoch == 0 else None):
             state, train_loss = trainer.train_epoch(

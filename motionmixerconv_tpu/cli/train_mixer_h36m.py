@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--visualize", action="store_true",
                         help="export prediction-vs-gt GIFs after training")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint path to resume training from "
+                             "(a working version of the reference's dead "
+                             "--load_checkpoint flag)")
     return parser
 
 

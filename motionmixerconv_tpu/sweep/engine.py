@@ -155,6 +155,15 @@ class Study:
                     json.loads(params), json.loads(attrs),
                 ))
 
+    @staticmethod
+    def _json_default(o):
+        """numpy scalars/arrays in user_attrs -> native JSON types."""
+        if hasattr(o, "item"):
+            return o.item()
+        if hasattr(o, "tolist"):
+            return o.tolist()
+        raise TypeError(f"Object of type {type(o).__name__} is not JSON serializable")
+
     def _record(self, trial: Trial, state: str, values: Optional[list]):
         frozen = FrozenTrial(trial.number, state, values, trial.params, trial.user_attrs)
         self.trials.append(frozen)
@@ -162,8 +171,10 @@ class Study:
             self._conn.execute(
                 "INSERT INTO trials VALUES (?,?,?,?,?,?,?)",
                 (self.study_name, trial.number, state,
-                 json.dumps(values), json.dumps(trial.params),
-                 json.dumps(trial.user_attrs), time.time()),
+                 json.dumps(values, default=self._json_default),
+                 json.dumps(trial.params, default=self._json_default),
+                 json.dumps(trial.user_attrs, default=self._json_default),
+                 time.time()),
             )
             self._conn.commit()
 
