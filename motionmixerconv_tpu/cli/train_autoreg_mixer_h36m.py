@@ -42,6 +42,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--batch_size_test", type=int, default=256)
     parser.add_argument("--loss_type", type=str, default="mpjpe",
                         choices=["mpjpe", "angle"])
+    parser.add_argument("--encoder_n_harmonic_functions", type=int, default=0,
+                        help="harmonic encoding is DISABLED for autoregressive "
+                             "training (reference parity, train_autoreg_mixer_h36m.py:535; "
+                             "d/dx sin(2^63 x) makes closed-loop feedback "
+                             "gradients explode)")
+    parser.add_argument("--encoder_omega0", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0)
 
     args, _ = parser.parse_known_args(argv)

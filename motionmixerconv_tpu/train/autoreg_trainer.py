@@ -231,7 +231,16 @@ class AutoregressiveTrainer(Trainer):
             w = jnp.asarray(np.stack(all_w))
             fn = self._epoch_scan_tf if teacher_forcing else self._epoch_scan_cl
             state, mean_loss = fn(state, frames, starts, w)
-            return state, float(mean_loss)
+            mean_loss = float(mean_loss)
+            if not np.isfinite(mean_loss):
+                # parity with the reference guardrail `assert not isnan(loss)`
+                # (train_autoreg_mixer_h36m.py:256): closed-loop gradients can
+                # explode through the feedback rollout — pass clip_grad.
+                raise FloatingPointError(
+                    "Loss is nan — closed-loop rollout diverged "
+                    "(try --clip_grad or more teacher-forcing epochs)"
+                )
+            return state, mean_loss
 
         step = self._train_step_tf if teacher_forcing else self._train_step_cl
         total, n = 0.0, 0
