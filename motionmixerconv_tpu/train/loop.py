@@ -371,6 +371,13 @@ class Trainer:
         starts = jnp.asarray(starts.reshape(n_batches, bs).astype(np.int32))
         w = jnp.asarray(w.reshape(n_batches, bs))
         gids = jnp.asarray(gids.reshape(n_batches, bs).astype(np.int32))
+        if self._batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            starts = jax.device_put(starts, sh)
+            w = jax.device_put(w, sh)
+            gids = jax.device_put(gids, sh)
 
         run = self._grouped_fn(kind, n_groups)
         m1, m2, nn = run(state.variables(), frames, starts, w, gids)

@@ -178,3 +178,29 @@ class TestAutoregressiveParity:
         norms = [float(jnp.linalg.norm(g)) for g in jax.tree_util.tree_leaves(grads)]
         assert all(np.isfinite(n) for n in norms)
         assert any(n > 0 for n in norms)
+
+
+def test_data_parallel_grouped_eval(h36m_dir):
+    """Sharded grouped eval matches single-device grouped eval."""
+    import numpy as np
+    from motionmixerconv_tpu.parallel import make_mesh
+
+    ds = H36MDataset(h36m_dir, 10, 10, 5, actions=["walking"], split=2)
+    frames = jnp.asarray(ds.frames)
+    gids = np.zeros(len(ds), np.int64)
+
+    tr0 = _trainer()
+    st0 = tr0.init_state(jax.random.PRNGKey(0))
+    m1a, m2a, na = tr0.evaluate_grouped(
+        st0, frames, ds.window_starts, gids, 1, 64, "h36m_xyz"
+    )
+
+    mesh = make_mesh()
+    trm = _trainer(mesh=mesh)
+    stm = trm.init_state(jax.random.PRNGKey(0))
+    m1b, m2b, nb = trm.evaluate_grouped(
+        stm, frames, ds.window_starts, gids, 1, 64, "h36m_xyz"
+    )
+    np.testing.assert_allclose(m1a, m1b, rtol=1e-5)
+    np.testing.assert_allclose(m2a, m2b, rtol=1e-5)
+    np.testing.assert_array_equal(na, nb)
