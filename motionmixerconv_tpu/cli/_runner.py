@@ -100,8 +100,10 @@ def build_mlp_mixer(args, dim: int, in_ntp: int, out_ntp: int) -> MlpMixer:
 
 def _log_dir(args, model_name: str) -> str:
     log_dir = os.path.join(args.save_path, model_name)
-    if os.path.exists(log_dir) and os.listdir(log_dir):
-        # parity with train_mixer_h36m.py:50-55
+    if (os.path.exists(log_dir) and os.listdir(log_dir)
+            and not getattr(args, "resume", None)):
+        # parity with train_mixer_h36m.py:50-55; a --resume run is allowed to
+        # continue in its own (existing) directory
         raise ValueError(
             "The directory already exists. Please, change the name of the model",
             log_dir,

@@ -60,11 +60,15 @@ def _auc_suffix_weights() -> tuple[jnp.ndarray, jnp.ndarray]:
     return grid, suffix
 
 
-def auc_pck_from_dist(dist: jnp.ndarray) -> jnp.ndarray:
-    """AUC-PCK from joint distances (..., scalar per joint), exact trapz value."""
+def auc_pck_from_dist(dist: jnp.ndarray, axis=None) -> jnp.ndarray:
+    """AUC-PCK from joint distances, exact trapz value.
+
+    ``axis=None`` averages over every distance (the reference's batch-mean);
+    a tuple averages over those axes only (e.g. per-sample curves).
+    """
     grid, suffix = _auc_suffix_weights()
     k = jnp.searchsorted(grid, dist, side="left")
-    return jnp.mean(suffix[k]) / 0.299
+    return jnp.mean(suffix[k], axis=axis) / 0.299
 
 
 def auc_pck_metric(predictions: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:

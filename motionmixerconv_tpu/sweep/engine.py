@@ -83,6 +83,11 @@ class GridSampler(Sampler):
         self._spaces: dict[str, list] = {}
         self._order: list[str] = []
 
+    def preload(self, order: list, spaces: dict) -> None:
+        """Restore a previously persisted search space (study resume)."""
+        self._order = list(order)
+        self._spaces = {k: list(v) for k, v in spaces.items()}
+
     def sample(self, trial_number: int, name: str, choices: list) -> Any:
         if name not in self._spaces:
             self._spaces[name] = list(choices)
@@ -142,9 +147,24 @@ class Study:
                 "study TEXT, number INTEGER, state TEXT, values_json TEXT, "
                 "params_json TEXT, user_attrs_json TEXT, t REAL)"
             )
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS spaces ("
+                "study TEXT, ord INTEGER, name TEXT, choices_json TEXT)"
+            )
             self._conn.commit()
         self.trials: list[FrozenTrial] = []
         if self._conn is not None:
+            # restore the grid sampler's discovered space so resumed studies
+            # decode trial numbers against the FULL grid (not a partial one,
+            # which would duplicate some points and skip others)
+            srows = self._conn.execute(
+                "SELECT ord, name, choices_json FROM spaces WHERE study=? "
+                "ORDER BY ord", (study_name,)
+            ).fetchall()
+            if srows and hasattr(self.sampler, "preload"):
+                order = [r[1] for r in srows]
+                spaces = {r[1]: json.loads(r[2]) for r in srows}
+                self.sampler.preload(order, spaces)
             rows = self._conn.execute(
                 "SELECT number, state, values_json, params_json, user_attrs_json "
                 "FROM trials WHERE study=? ORDER BY number", (study_name,)
@@ -177,6 +197,26 @@ class Study:
                  time.time()),
             )
             self._conn.commit()
+        self._persist_spaces()
+
+    def _persist_spaces(self):
+        """Record the sampler's (grid) space as it is discovered."""
+        if self._conn is None or not isinstance(self.sampler, GridSampler):
+            return
+        known = {
+            r[0] for r in self._conn.execute(
+                "SELECT name FROM spaces WHERE study=?", (self.study_name,)
+            ).fetchall()
+        }
+        for i, name in enumerate(self.sampler._order):
+            if name not in known:
+                self._conn.execute(
+                    "INSERT INTO spaces VALUES (?,?,?,?)",
+                    (self.study_name, i, name,
+                     json.dumps(self.sampler._spaces[name],
+                                default=self._json_default)),
+                )
+        self._conn.commit()
 
     def optimize(self, objective: Callable[[Trial], Any],
                  n_trials: int = 40, timeout: Optional[float] = None,
@@ -230,16 +270,7 @@ def create_study(study_name: str, storage: Optional[str] = None,
                  sampler: Optional[Sampler] = None,
                  directions: Sequence[str] = ("minimize",),
                  backend: str = "auto"):
-    """Create a study; uses real optuna when installed and requested."""
-    if backend in ("auto", "optuna"):
-        try:
-            import optuna  # noqa: F401
-
-            if backend == "optuna" or storage is not None and backend == "auto":
-                pass  # fallthrough below builds native study; optuna optional
-        except ImportError:
-            if backend == "optuna":
-                raise
+    """Create a study; backend='optuna' returns a real optuna study."""
     if backend == "optuna":
         import optuna
 

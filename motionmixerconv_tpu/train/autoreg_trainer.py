@@ -113,8 +113,19 @@ class AutoregressiveTrainer(Trainer):
         return _per_sample_l1_angle
 
     def _rollout(self, variables, seq, teacher_forcing, rng=None, training=False):
+        has_bs = isinstance(variables, dict) and bool(variables.get("batch_stats"))
+
         def apply_fn(x):
             kwargs = {"rngs": {"dropout": rng}} if (training and rng is not None) else {}
+            if training and has_bs:
+                # train-mode BatchNorm normalizes with batch statistics and
+                # wants to write running stats; inside the rollout those
+                # per-step updates are discarded (see _ar_train_impl for the
+                # once-per-step stats harvest).
+                out, _ = self.model.apply(
+                    variables, x, training=True, mutable=["batch_stats"], **kwargs
+                )
+                return out
             return self.model.apply(variables, x, training=training, **kwargs)
 
         return autoregressive_rollout(
@@ -143,12 +154,28 @@ class AutoregressiveTrainer(Trainer):
             )
             return _wmean(per_sample, w) * self.loss_scale
 
+        if state.batch_stats:
+            # BatchNorm running stats: harvested from one training-mode
+            # forward on the first window per optimizer step (a stats carry
+            # through the rollout scan would leak tracers; the reference also
+            # updates stats once per step, over its own batch composition).
+            _, bs_updates = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                seq[:, : self.input_n_model],
+                training=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            new_bs = bs_updates.get("batch_stats", state.batch_stats)
+        else:
+            new_bs = state.batch_stats
+
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (
             state.replace(
-                step=state.step + 1, params=new_params,
+                step=state.step + 1, params=new_params, batch_stats=new_bs,
                 opt_state=new_opt, rng=new_rng,
             ),
             loss,

@@ -60,17 +60,11 @@ def _per_sample_joint_angle(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 
 def _per_sample_auc_pck(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
-    """(B, T, J, 3) -> (B,): per-sample AUC of PCK over thresholds .001..0.3.
-
-    Uses the exact suffix-weight closed form (metrics.auc_pck_from_dist)
-    rather than a (B, T, J, 299) indicator broadcast.
-    """
-    from ..metrics.metrics import _auc_suffix_weights
+    """(B, T, J, 3) -> (B,): per-sample AUC of PCK over thresholds .001..0.3."""
+    from ..metrics.metrics import auc_pck_from_dist
 
     dist = jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=-1))  # (B, T, J)
-    grid, suffix = _auc_suffix_weights()
-    k = jnp.searchsorted(grid, dist, side="left")
-    return jnp.mean(suffix[k], axis=(1, 2)) / 0.299
+    return auc_pck_from_dist(dist, axis=(1, 2))
 
 
 def _wmean(per_sample: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -263,20 +257,7 @@ class Trainer:
     # -------------------------------------------------------------- val step
 
     def _val_step_impl(self, variables, frames, starts, w):
-        seq_len = self.input_n + self.output_n
-        batch = gather_windows(frames, starts, seq_len)
-        model_in, seq_gt, last = self._prepare(batch)
-        pred, _ = self._forward(variables, model_in, training=False)
-        if self.delta_x:
-            pred = delta_2_gt(pred, last)
-        if self.loss_type == "mpjpe":
-            per = _per_sample_mpjpe(pred, seq_gt) * self.loss_scale
-        else:
-            # reference val for 'angle' is euler error on the full frame
-            # (train_mixer_h36m.py:240-244)
-            full_gt = batch[:, self.input_n : self.input_n + self.output_n]
-            all_joints = full_gt.at[:, :, jnp.asarray(self.dim_used)].set(pred)
-            per = _per_sample_euler(all_joints, full_gt)
+        per, _ = self._val_per_sample(variables, frames, starts)
         return jnp.sum(per * w), jnp.sum(w)
 
     # ---------------------------------------------------- h36m xyz test step

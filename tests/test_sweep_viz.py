@@ -168,3 +168,28 @@ class TestPretrainedEval:
         )
         avg, final = tm.test_pretrained(model, variables, args)
         assert np.isfinite(avg) and np.isfinite(final)
+
+
+def test_grid_resume_covers_full_grid(tmp_path):
+    """Resumed grid studies must decode against the FULL persisted space —
+    no duplicated points, no holes (regression: the space used to be
+    re-discovered lazily so resume re-ran old points and skipped others)."""
+    db = f"sqlite:///{tmp_path}/results.db"
+
+    def objective(trial):
+        a = trial.suggest_int("a", 1, 2, step=1)
+        b = trial.suggest_int("b", 10, 40, step=10)
+        return float(a * 100 + b)
+
+    s1 = Study("g", storage=db, sampler=GridSampler())
+    s1.optimize(objective, n_trials=4)
+
+    s2 = Study("g", storage=db, sampler=GridSampler())  # fresh process
+    s2.optimize(objective, n_trials=10)
+
+    done = [t for t in s2.trials if t.state == "COMPLETE"]
+    points = sorted((t.params["a"], t.params["b"]) for t in done)
+    assert len(done) == 8, f"grid has 8 points, ran {len(done)}"
+    assert points == sorted(
+        (a, b) for a in (1, 2) for b in (10, 20, 30, 40)
+    ), f"duplicates/holes in resumed grid: {points}"

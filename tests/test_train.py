@@ -204,3 +204,35 @@ def test_data_parallel_grouped_eval(h36m_dir):
     np.testing.assert_allclose(m1a, m1b, rtol=1e-5)
     np.testing.assert_allclose(m2a, m2b, rtol=1e-5)
     np.testing.assert_array_equal(na, nb)
+
+
+def test_autoregressive_batchnorm_training(h36m_dir):
+    """regularization=-1 (BatchNorm) trains through the rollout and stats move."""
+    from motionmixerconv_tpu.models import ConvMixer
+    from motionmixerconv_tpu.train.autoreg_trainer import AutoregressiveTrainer
+
+    ds = H36MDataset(h36m_dir, 10, 25, 5, actions=["walking"], split=0)
+    frames = jnp.asarray(ds.frames)
+    model = ConvMixer(
+        num_blocks=1, dimPosIn=66, dimPosEmb=24, dimPosOut=66, in_nTP=10,
+        out_nTP=5, conv_nChan=1, conv1_kernel_shape=(1, 3), mode_conv="twice",
+        activation="gelu", regularization=-1.0, use_se=True, r_se=2,
+        encoder_n_harmonic_functions=0,
+    )
+    tr = AutoregressiveTrainer(
+        model, make_optimizer(lr=1e-3, steps_per_epoch=5),
+        loss_type="mpjpe", dim_used=H36M_DIM_USED_XYZ,
+        input_n=10, output_n=25, input_n_model=10, output_n_model=5,
+        step_window=5,
+    )
+    state = tr.init_state(jax.random.PRNGKey(0))
+    bs_before = [np.array(x) for x in jax.tree_util.tree_leaves(state.batch_stats)]
+    assert bs_before, "model should have batch_stats"
+    for tf in (True, False):
+        state, loss = tr.train_epoch_ar(state, ds, frames, 16, seed=0,
+                                        teacher_forcing=tf)
+        assert np.isfinite(loss)
+    bs_after = [np.array(x) for x in jax.tree_util.tree_leaves(state.batch_stats)]
+    assert any(
+        not np.allclose(a, b) for a, b in zip(bs_before, bs_after)
+    ), "running stats never updated"
