@@ -184,6 +184,84 @@ def export_h36m_visualizations(trainer, state, test_set, log_dir: str,
     return paths
 
 
+
+def _train_and_evaluate(
+    args, trainer, state, logger, log_dir,
+    dataset, frames, vald, vframes,
+    test_frames, test_starts, test_gids, action_names,
+    *,
+    test_kind: str,
+    metric_names: tuple,
+    m1_scale: float = 1.0,
+    teacher_forcing_epochs=None,
+    start_epoch: int = 0,
+):
+    """Shared epoch driver: train -> validate -> grouped per-action test ->
+    history/TensorBoard/checkpoint. Used by all grouped-eval runners; AMASS
+    (single test corpus, joint-scatter eval) keeps its own small loop.
+
+    metric_names: (m1, m2) labels, e.g. ("mpjpe", "auc_pck").
+    m1_scale: applied to the primary test metric (1000 for AIS meters -> mm).
+    teacher_forcing_epochs: not None selects the autoregressive trainer path.
+    """
+    history = {"train": [], "val": [], "test": [],
+               "metrics": {metric_names[0]: [], metric_names[1]: []}}
+    autoreg = teacher_forcing_epochs is not None
+
+    for epoch in range(start_epoch, args.n_epochs):
+        t0 = time.time()
+        with profile_trace(profile_dir_from_env() if epoch == 0 else None):
+            if autoreg:
+                tf = epoch < teacher_forcing_epochs
+                state, train_loss = trainer.train_epoch_ar(
+                    state, dataset, frames, args.batch_size, seed=epoch,
+                    teacher_forcing=tf,
+                )
+            else:
+                state, train_loss = trainer.train_epoch(
+                    state, dataset, frames, args.batch_size, seed=epoch
+                )
+        logger.add_scalar(
+            "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
+        )
+        val_loss = trainer.validate(state, vald, vframes, args.batch_size)
+
+        m1s, m2s, ns = trainer.evaluate_grouped(
+            state, test_frames, test_starts, test_gids,
+            len(action_names), args.batch_size_test, test_kind,
+        )
+        per_action = {
+            a: (m1s[i] / ns[i] * m1_scale, m2s[i] / ns[i])
+            for i, a in enumerate(action_names)
+        }
+        m1_avg = m1s.sum() / ns.sum() * m1_scale
+        m2_avg = m2s.sum() / ns.sum()
+
+        history["train"].append(train_loss)
+        history["val"].append(val_loss)
+        history["test"].append(m1_avg)
+        history["per_action"] = per_action
+        history["metrics"][metric_names[0]].append(m1_avg)
+        history["metrics"][metric_names[1]].append(m2_avg)
+        logger.add_scalar("loss/train", train_loss, epoch)
+        logger.add_scalar("loss/val", val_loss, epoch)
+        logger.add_scalar("loss/test", m1_avg, epoch)
+        logger.add_scalar(f"metrics/{metric_names[0]}", m1_avg, epoch)
+        logger.add_scalar(f"metrics/{metric_names[1]}", m2_avg, epoch)
+
+        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch)
+        tf_note = f"tf={epoch < teacher_forcing_epochs} " if autoreg else ""
+        print(
+            f"epoch {epoch}: {tf_note}train {train_loss:.4f} val {val_loss:.4f} "
+            f"test {m1_avg:.4f} ({time.time() - t0:.1f}s)"
+        )
+
+    return history, state
+
+
+def _h36m_metric_names(loss_type):
+    return ("mpjpe", "auc_pck") if loss_type == "mpjpe" else ("euler_angle", "joint_angle")
+
 def run_h36m(args, model=None, model_name: Optional[str] = None):
     """H36M direct training (train_mixer_h36m.py:47-279 + per-epoch tests)."""
     mode = "xyz" if args.loss_type == "mpjpe" else "angle"
@@ -240,56 +318,14 @@ def run_h36m(args, model=None, model_name: Optional[str] = None):
     vframes = jnp.asarray(vald.frames)
     test_frames, test_starts, test_gids, action_names = _combine_test_sets(test_sets)
 
-    history = {"train": [], "val": [], "test": [], "metrics": {}}
-    if args.loss_type == "mpjpe":
-        history["metrics"] = {"auc_pck": [], "mpjpe": []}
-    else:
-        history["metrics"] = {"joint_angle": [], "euler_angle": []}
-
-    test_kind = "h36m_xyz" if args.loss_type == "mpjpe" else "h36m_angle"
-    for epoch in range(start_epoch, args.n_epochs):
-        t0 = time.time()
-        with profile_trace(profile_dir_from_env() if epoch == 0 else None):
-            state, train_loss = trainer.train_epoch(
-                state, dataset, frames, args.batch_size, seed=epoch
-            )
-        logger.add_scalar(
-            "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
-        )
-        val_loss = trainer.validate(state, vald, vframes, args.batch_size)
-
-        m1s, m2s, ns = trainer.evaluate_grouped(
-            state, test_frames, test_starts, test_gids,
-            len(action_names), args.batch_size_test, test_kind,
-        )
-        per_action = {
-            a: (m1s[i] / ns[i], m2s[i] / ns[i]) for i, a in enumerate(action_names)
-        }
-        m1_avg, m2_avg = m1s.sum() / ns.sum(), m2s.sum() / ns.sum()
-
-        history["train"].append(train_loss)
-        history["val"].append(val_loss)
-        history["test"].append(m1_avg)
-        history["per_action"] = per_action
-        logger.add_scalar("loss/train", train_loss, epoch)
-        logger.add_scalar("loss/val", val_loss, epoch)
-        logger.add_scalar("loss/test", m1_avg, epoch)
-        if args.loss_type == "mpjpe":
-            history["metrics"]["mpjpe"].append(m1_avg)
-            history["metrics"]["auc_pck"].append(m2_avg)
-            logger.add_scalar("metrics/mpjpe", m1_avg, epoch)
-            logger.add_scalar("metrics/auc_pck", m2_avg, epoch)
-        else:
-            history["metrics"]["euler_angle"].append(m1_avg)
-            history["metrics"]["joint_angle"].append(m2_avg)
-            logger.add_scalar("metrics/euler_angle", m1_avg, epoch)
-            logger.add_scalar("metrics/joint_angle", m2_avg, epoch)
-
-        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch)
-        print(
-            f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} "
-            f"test {m1_avg:.4f} ({time.time() - t0:.1f}s)"
-        )
+    history, state = _train_and_evaluate(
+        args, trainer, state, logger, log_dir,
+        dataset, frames, vald, vframes,
+        test_frames, test_starts, test_gids, action_names,
+        test_kind="h36m_xyz" if args.loss_type == "mpjpe" else "h36m_angle",
+        metric_names=_h36m_metric_names(args.loss_type),
+        start_epoch=start_epoch,
+    )
 
     if getattr(args, "visualize", False) and args.loss_type == "mpjpe":
         first_action = action_names[0]
@@ -346,56 +382,14 @@ def run_h36m_autoregressive(args, model=None, model_name: Optional[str] = None):
     vframes = jnp.asarray(vald.frames)
     test_frames, test_starts, test_gids, action_names = _combine_test_sets(test_sets)
 
-    history = {"train": [], "val": [], "test": [], "metrics": {}}
-    if args.loss_type == "mpjpe":
-        history["metrics"] = {"auc_pck": [], "mpjpe": []}
-    else:
-        history["metrics"] = {"joint_angle": [], "euler_angle": []}
-
-    for epoch in range(args.n_epochs):
-        t0 = time.time()
-        tf = epoch < args.n_epochs_teacher_forcing
-        with profile_trace(profile_dir_from_env() if epoch == 0 else None):
-            state, train_loss = trainer.train_epoch_ar(
-                state, dataset, frames, args.batch_size, seed=epoch, teacher_forcing=tf
-            )
-        logger.add_scalar(
-            "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
-        )
-        val_loss = trainer.validate(state, vald, vframes, args.batch_size)
-
-        m1s, m2s, ns = trainer.evaluate_grouped(
-            state, test_frames, test_starts, test_gids,
-            len(action_names), args.batch_size_test, "ar",
-        )
-        per_action = {
-            a: (m1s[i] / ns[i], m2s[i] / ns[i]) for i, a in enumerate(action_names)
-        }
-        m1_avg, m2_avg = m1s.sum() / ns.sum(), m2s.sum() / ns.sum()
-
-        history["train"].append(train_loss)
-        history["val"].append(val_loss)
-        history["test"].append(m1_avg)
-        history["per_action"] = per_action
-        logger.add_scalar("loss/train", train_loss, epoch)
-        logger.add_scalar("loss/val", val_loss, epoch)
-        logger.add_scalar("loss/test", m1_avg, epoch)
-        if args.loss_type == "mpjpe":
-            history["metrics"]["mpjpe"].append(m1_avg)
-            history["metrics"]["auc_pck"].append(m2_avg)
-            logger.add_scalar("metrics/mpjpe", m1_avg, epoch)
-            logger.add_scalar("metrics/auc_pck", m2_avg, epoch)
-        else:
-            history["metrics"]["euler_angle"].append(m1_avg)
-            history["metrics"]["joint_angle"].append(m2_avg)
-            logger.add_scalar("metrics/euler_angle", m1_avg, epoch)
-            logger.add_scalar("metrics/joint_angle", m2_avg, epoch)
-
-        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch)
-        print(
-            f"epoch {epoch}: tf={tf} train {train_loss:.4f} val {val_loss:.4f} "
-            f"test {m1_avg:.4f} ({time.time() - t0:.1f}s)"
-        )
+    history, state = _train_and_evaluate(
+        args, trainer, state, logger, log_dir,
+        dataset, frames, vald, vframes,
+        test_frames, test_starts, test_gids, action_names,
+        test_kind="ar",
+        metric_names=_h36m_metric_names(args.loss_type),
+        teacher_forcing_epochs=args.n_epochs_teacher_forcing,
+    )
 
     logger.close()
     return history, state, trainer
@@ -444,44 +438,15 @@ def run_ais(args, model=None, model_name: Optional[str] = None):
     vframes = jnp.asarray(vald.frames)
     test_frames, test_starts, test_gids, action_names = _combine_test_sets(test_sets)
 
-    history = {"train": [], "val": [], "test": [], "metrics": {"auc_pck": [], "mpjpe": []}}
-    for epoch in range(args.n_epochs):
-        t0 = time.time()
-        with profile_trace(profile_dir_from_env() if epoch == 0 else None):
-            state, train_loss = trainer.train_epoch(
-                state, dataset, frames, args.batch_size, seed=epoch
-            )
-        logger.add_scalar(
-            "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
-        )
-        val_loss = trainer.validate(state, vald, vframes, args.batch_size)
-        m1s, m2s, ns = trainer.evaluate_grouped(
-            state, test_frames, test_starts, test_gids,
-            len(action_names), args.batch_size_test, "simple",
-        )
-        per_action = {
-            a: (m1s[i] / ns[i] * 1000.0, m2s[i] / ns[i])  # mm
-            for i, a in enumerate(action_names)
-        }
-        m1_avg = m1s.sum() / ns.sum() * 1000.0
-        m2_avg = m2s.sum() / ns.sum()
-
-        history["train"].append(train_loss)
-        history["val"].append(val_loss)
-        history["test"].append(m1_avg)
-        history["per_action"] = per_action
-        history["metrics"]["mpjpe"].append(m1_avg)
-        history["metrics"]["auc_pck"].append(m2_avg)
-        logger.add_scalar("loss/train", train_loss, epoch)
-        logger.add_scalar("loss/val", val_loss, epoch)
-        logger.add_scalar("loss/test", m1_avg, epoch)
-        logger.add_scalar("metrics/mpjpe", m1_avg, epoch)
-        logger.add_scalar("metrics/auc_pck", m2_avg, epoch)
-        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch)
-        print(
-            f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} "
-            f"test {m1_avg:.2f}mm ({time.time() - t0:.1f}s)"
-        )
+    # test metric in mm (train_mixer_ais.py:386-388)
+    history, state = _train_and_evaluate(
+        args, trainer, state, logger, log_dir,
+        dataset, frames, vald, vframes,
+        test_frames, test_starts, test_gids, action_names,
+        test_kind="simple",
+        metric_names=("mpjpe", "auc_pck"),
+        m1_scale=1000.0,
+    )
 
     logger.close()
     return history, state, trainer
@@ -537,46 +502,16 @@ def run_ais_autoregressive(args, model=None, model_name: Optional[str] = None):
     vframes = jnp.asarray(vald.frames)
     test_frames, test_starts, test_gids, action_names = _combine_test_sets(test_sets)
 
-    history = {"train": [], "val": [], "test": [],
-               "metrics": {"auc_pck": [], "mpjpe": []}}
-    for epoch in range(args.n_epochs):
-        t0 = time.time()
-        tf = epoch < args.n_epochs_teacher_forcing
-        with profile_trace(profile_dir_from_env() if epoch == 0 else None):
-            state, train_loss = trainer.train_epoch_ar(
-                state, dataset, frames, args.batch_size, seed=epoch, teacher_forcing=tf
-            )
-        logger.add_scalar(
-            "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
-        )
-        val_loss = trainer.validate(state, vald, vframes, args.batch_size)
-        m1s, m2s, ns = trainer.evaluate_grouped(
-            state, test_frames, test_starts, test_gids,
-            len(action_names), args.batch_size_test, "ar",
-        )
-        per_action = {
-            a: (m1s[i] / ns[i] * 1000.0, m2s[i] / ns[i])
-            for i, a in enumerate(action_names)
-        }
-        m1_avg = m1s.sum() / ns.sum() * 1000.0
-        m2_avg = m2s.sum() / ns.sum()
-
-        history["train"].append(train_loss)
-        history["val"].append(val_loss)
-        history["test"].append(m1_avg)
-        history["per_action"] = per_action
-        history["metrics"]["mpjpe"].append(m1_avg)
-        history["metrics"]["auc_pck"].append(m2_avg)
-        logger.add_scalar("loss/train", train_loss, epoch)
-        logger.add_scalar("loss/val", val_loss, epoch)
-        logger.add_scalar("loss/test", m1_avg, epoch)
-        logger.add_scalar("metrics/mpjpe", m1_avg, epoch)
-        logger.add_scalar("metrics/auc_pck", m2_avg, epoch)
-        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch)
-        print(
-            f"epoch {epoch}: tf={tf} train {train_loss:.4f} val {val_loss:.4f} "
-            f"test {m1_avg:.2f}mm ({time.time() - t0:.1f}s)"
-        )
+    # rollout test metric x1000 mm (train_autoreg_mixer_ais.py:298-300)
+    history, state = _train_and_evaluate(
+        args, trainer, state, logger, log_dir,
+        dataset, frames, vald, vframes,
+        test_frames, test_starts, test_gids, action_names,
+        test_kind="ar",
+        metric_names=("mpjpe", "auc_pck"),
+        m1_scale=1000.0,
+        teacher_forcing_epochs=args.n_epochs_teacher_forcing,
+    )
 
     logger.close()
     return history, state, trainer
