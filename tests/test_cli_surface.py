@@ -1,0 +1,82 @@
+"""CLI flag-surface parity: defaults must match the reference scripts.
+
+Reference defaults transcribed from h36m/train_mixer_h36m.py:500-552 (incl.
+the two-stage per-loss-type hyperparameter groups), train_autoreg_mixer_h36m
+and amass/train_mixer_amass.py:203-267.
+"""
+
+from motionmixerconv_tpu.cli import (
+    test_mixer_h36m,
+    train_autoreg_mixer_ais,
+    train_autoreg_mixer_h36m,
+    train_mixer_amass,
+    train_mixer_h36m,
+)
+
+
+def test_h36m_mpjpe_stage_defaults():
+    a = train_mixer_h36m.parse_args(["--loss_type", "mpjpe"])
+    # train_mixer_h36m.py:529-539
+    assert (a.hidden_dim, a.num_blocks, a.tokens_mlp_dim, a.channels_mlp_dim) == (50, 4, 20, 50)
+    assert a.regularization == 0.1 and a.pose_dim == 66 and a.lr == 0.001
+    assert a.delta_x is False
+
+
+def test_h36m_angle_stage_defaults():
+    a = train_mixer_h36m.parse_args([])  # default loss_type is 'angle' (:524)
+    assert a.loss_type == "angle"
+    # train_mixer_h36m.py:541-552
+    assert (a.hidden_dim, a.num_blocks, a.tokens_mlp_dim, a.channels_mlp_dim) == (60, 3, 40, 60)
+    assert a.regularization == 0.0 and a.pose_dim == 48 and a.lr == 1e-2
+
+
+def test_h36m_shared_defaults():
+    a = train_mixer_h36m.parse_args([])
+    # train_mixer_h36m.py:500-524
+    assert (a.input_n, a.output_n, a.skip_rate) == (10, 25, 1)
+    assert a.activation == "mish" and a.r_se == 8
+    assert a.batch_size == 50 and a.batch_size_test == 256
+    assert a.milestones == [15, 25, 35, 40] and a.gamma == 0.1
+    assert a.use_scheduler is True and a.clip_grad is None
+    assert a.actions_to_consider == "all"
+
+
+def test_h36m_angle_delta_x_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        train_mixer_h36m.parse_args(["--loss_type", "angle", "--delta_x", "1"])
+
+
+def test_autoreg_defaults():
+    a = train_autoreg_mixer_h36m.parse_args([])
+    assert (a.input_n_dataset, a.output_n_dataset) == (10, 25)
+    assert (a.input_n_model, a.output_n_model, a.step_window) == (10, 5, 5)
+    # harmonic encoding disabled for rollout training
+    # (train_autoreg_mixer_h36m.py:535)
+    assert a.encoder_n_harmonic_functions == 0
+    # autoreg CLI uses (5,5) conv kernels (train_autoreg_mixer_h36m.py:528-548)
+    assert (a.kernel1_x, a.kernel1_y) == (5, 5)
+
+
+def test_ais_autoreg_defaults():
+    a = train_autoreg_mixer_ais.parse_args([])
+    assert a.encoder_n_harmonic_functions == 0
+    assert a.pose_dim == 33 and a.skip_rate == 2 and a.smoothing_alpha == 0.15
+
+
+def test_amass_defaults():
+    a = train_mixer_amass.parse_args([])
+    # amass/train_mixer_amass.py:206-263
+    assert (a.input_n, a.output_n, a.skip_rate) == (10, 25, 1)
+    assert a.activation == "gelu" and a.batch_size == 200 and a.n_epochs == 50
+    assert (a.hidden_dim, a.num_blocks, a.channels_mlp_dim) == (128, 5, 128)
+    assert a.pose_dim == 54 and a.lr == 0.001
+
+
+def test_pretrained_eval_defaults():
+    a = test_mixer_h36m.parse_args(["--model_path", "x.pt"])
+    # test_mixer_h36m.py:20,40 — per-horizon frames and delta_x default True
+    assert test_mixer_h36m.EVAL_FRAMES == [1, 3, 7, 9, 13, 17, 21, 24]
+    assert test_mixer_h36m.IDX_EVAL == 7
+    assert a.delta_x is True
