@@ -260,3 +260,53 @@ def save_torch_state_dict(path: str, sd: Flat) -> None:
     import torch
 
     torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
+
+
+def _conv2d_out(out: Flat, prefix: str, p: dict) -> None:
+    w = np.asarray(p["kernel"])  # (kh, kw, in, out)
+    out[f"{prefix}.weight"] = np.ascontiguousarray(w.transpose(3, 2, 0, 1))
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def export_conv_mixer(variables: Dict[str, Any], num_blocks: int,
+                      n_harmonic_functions: int = 0,
+                      omega0: float = 0.1) -> Flat:
+    """flax ConvMixer variables -> reference torch state_dict arrays.
+
+    Inverse of ``convert_conv_mixer`` (dropout-regularized configs; BatchNorm
+    export not implemented, matching export_mlp_mixer). Pass the model's
+    ``encoder_n_harmonic_functions``/``encoder_omega0`` so the torch
+    ``encoder.frequencies`` buffer (a deterministic constant,
+    positional_encoder.py:54-58) is emitted when harmonic encoding is on.
+    """
+    p = variables["params"]
+    out: Flat = {}
+    if n_harmonic_functions > 0:
+        out["encoder.frequencies"] = (
+            omega0 * (2.0 ** np.arange(n_harmonic_functions))
+        ).astype(np.float32)
+    _linear_out(out, "encoder.embed_mlp", p["encoder"]["embed_mlp"])
+    _linear_out(out, "encoder.channelUpscaling", p["encoder"]["channelUpscaling"])
+    for i in range(num_blocks):
+        bp = p[f"Mixer_Block_{i}"]
+        tp = f"Mixer_Block.{i}"
+        _layernorm_out(out, f"{tp}.LN1", bp["LN1"])
+        _conv2d_out(out, f"{tp}.conv1.conv", bp["conv1"]["conv"])
+        if "conv2" in bp:
+            _layernorm_out(out, f"{tp}.LN2", bp["LN2"])
+            _conv2d_out(out, f"{tp}.conv2.conv", bp["conv2"]["conv"])
+        if "se" in bp:
+            _se_out(out, f"{tp}.se", bp["se"], "excitationBlock")
+            # the reference aliases se2 to se (conv_mixer_model.py:257); its
+            # state_dict therefore repeats the same tensors under se2
+            if "conv2" in bp:
+                _se_out(out, f"{tp}.se2", bp["se"], "excitationBlock")
+    _layernorm_out(out, "LN", p["LN"])
+    w = np.asarray(p["conv_out"]["kernel"])  # (T, P)
+    out["conv_out.weight"] = np.ascontiguousarray(w.T)[:, :, None, None]
+    out["conv_out.bias"] = np.asarray(p["conv_out"]["bias"])
+    w = np.asarray(p["project_channels"]["kernel"])  # (C, 1)
+    out["project_channels.weight"] = np.ascontiguousarray(w.T)[:, :, None, None]
+    out["project_channels.bias"] = np.asarray(p["project_channels"]["bias"])
+    _linear_out(out, "fc_out", p["fc_out"])
+    return out

@@ -74,3 +74,33 @@ def test_torch_export_roundtrip():
     assert sd["conv.weight"].shape == (50, 1, 1, 66)
     assert sd["conv_out.weight"].shape == (25, 10, 1)
     assert sd["Mixer_Block.0.mlp_block_token_mixing.fc1.weight"].shape == (20, 10)
+
+
+def test_conv_mixer_export_roundtrip_and_torch_load():
+    """flax ConvMixer -> torch state_dict -> (a) flax roundtrip matches,
+    (b) the REFERENCE torch ConvMixer accepts the state_dict when present."""
+    from motionmixerconv_tpu.models import ConvMixer, convert_conv_mixer
+    from motionmixerconv_tpu.models.torch_io import export_conv_mixer
+
+    model = ConvMixer(
+        num_blocks=2, dimPosIn=66, dimPosEmb=50, dimPosOut=66, in_nTP=10,
+        out_nTP=25, conv_nChan=1, conv1_kernel_shape=(1, 3),
+        conv1_padding=(0, 1), mode_conv="twice", activation="mish",
+        regularization=0.1, use_se=True, r_se=8,
+        encoder_n_harmonic_functions=64, encoder_omega0=0.1,
+    )
+    x = jnp.asarray(np.random.RandomState(1).randn(3, 10, 66).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(7), x, training=False)
+    want = model.apply(variables, x, training=False)
+
+    sd = export_conv_mixer(variables, num_blocks=2, n_harmonic_functions=64, omega0=0.1)
+    back = convert_conv_mixer(sd, num_blocks=2)
+    got = model.apply(back, x, training=False)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # key-set compatibility with the reference state_dict layout
+    golden = np.load(os.path.join(GOLDEN, "model_conv_mixer.npz"))
+    ref_keys = {k[4:] for k in golden.files if k.startswith("sd::")}
+    assert set(sd.keys()) == ref_keys, (
+        f"missing={ref_keys - set(sd)} extra={set(sd) - ref_keys}"
+    )
