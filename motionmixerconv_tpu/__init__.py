@@ -14,4 +14,7 @@ layered, functional JAX library:
 - ``viz``       — matplotlib GIF skeleton rendering
 """
 
+from . import geometry, metrics  # lightweight subpackages
+from .serving import Predictor
+
 __version__ = "0.1.0"
