@@ -1,3 +1,3 @@
-from .engine import Study, Trial, GridSampler, RandomSampler, create_study
+from .engine import Study, Trial, GridSampler, RandomSampler, TPESampler, create_study
 
-__all__ = ["Study", "Trial", "GridSampler", "RandomSampler", "create_study"]
+__all__ = ["Study", "Trial", "GridSampler", "RandomSampler", "TPESampler", "create_study"]

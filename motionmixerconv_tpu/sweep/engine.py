@@ -170,10 +170,13 @@ class Study:
                 "FROM trials WHERE study=? ORDER BY number", (study_name,)
             ).fetchall()
             for num, st, vals, params, attrs in rows:
-                self.trials.append(FrozenTrial(
+                ft = FrozenTrial(
                     num, st, json.loads(vals) if vals else None,
                     json.loads(params), json.loads(attrs),
-                ))
+                )
+                self.trials.append(ft)
+                if ft.state == "COMPLETE" and ft.values and hasattr(self.sampler, "observe"):
+                    self.sampler.observe(ft.params, ft.values[0])
 
     @staticmethod
     def _json_default(o):
@@ -187,6 +190,8 @@ class Study:
     def _record(self, trial: Trial, state: str, values: Optional[list]):
         frozen = FrozenTrial(trial.number, state, values, trial.params, trial.user_attrs)
         self.trials.append(frozen)
+        if state == "COMPLETE" and values and hasattr(self.sampler, "observe"):
+            self.sampler.observe(trial.params, values[0])
         if self._conn is not None:
             self._conn.execute(
                 "INSERT INTO trials VALUES (?,?,?,?,?,?,?)",
@@ -279,3 +284,69 @@ def create_study(study_name: str, storage: Optional[str] = None,
             directions=list(directions), load_if_exists=True,
         )
     return Study(study_name, storage=storage, sampler=sampler, directions=directions)
+
+
+class TPESampler(Sampler):
+    """Independent Tree-structured Parzen Estimator sampler.
+
+    Capability parity with the reference MlpMixer study's default optuna TPE
+    (optuna_search/optuna_main.py:168-191): after ``n_startup`` random trials,
+    each parameter is sampled by splitting past observations into good/bad at
+    the gamma-quantile of the (first) objective, fitting Gaussian KDEs l(x)
+    and g(x), and choosing the candidate maximizing l(x)/g(x). Parameters are
+    modeled independently (like optuna's default multivariate=False).
+
+    The owning Study feeds it completed trials via ``observe``.
+    """
+
+    def __init__(self, seed: int = 0, n_startup: int = 10, gamma: float = 0.25,
+                 n_candidates: int = 24):
+        import numpy as np
+
+        self._rng = np.random.RandomState(seed)
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self._history: list[tuple[dict, float]] = []  # (params, objective)
+
+    def observe(self, params: dict, value: float) -> None:
+        self._history.append((dict(params), float(value)))
+
+    def _kde_logpdf(self, xs, obs, lo, hi):
+        import numpy as np
+
+        obs = np.asarray(obs, dtype=np.float64)
+        bw = max((hi - lo) * 1.06 * len(obs) ** -0.2 / 4.0, 1e-12)
+        d = (xs[:, None] - obs[None, :]) / bw
+        return np.log(np.exp(-0.5 * d * d).sum(axis=1) + 1e-12)
+
+    def sample(self, trial_number: int, name: str, choices: list) -> Any:
+        import numpy as np
+
+        done = [(p, v) for p, v in self._history if name in p]
+        if len(done) < self.n_startup:
+            return choices[int(self._rng.randint(len(choices)))]
+
+        numeric = all(isinstance(c, (int, float)) and not isinstance(c, bool)
+                      for c in choices)
+        done.sort(key=lambda t: t[1])
+        n_good = max(1, int(np.ceil(self.gamma * len(done))))
+        good = [p[name] for p, _ in done[:n_good]]
+        bad = [p[name] for p, _ in done[n_good:]] or good
+
+        if not numeric:
+            # categorical: smoothed counts
+            counts_g = {c: 1.0 for c in choices}
+            counts_b = {c: 1.0 for c in choices}
+            for v in good:
+                counts_g[v] = counts_g.get(v, 1.0) + 1.0
+            for v in bad:
+                counts_b[v] = counts_b.get(v, 1.0) + 1.0
+            scores = {c: counts_g[c] / counts_b[c] for c in choices}
+            return max(choices, key=lambda c: scores[c])
+
+        lo, hi = float(min(choices)), float(max(choices))
+        cand_idx = self._rng.randint(len(choices), size=self.n_candidates)
+        cands = np.asarray([choices[i] for i in cand_idx], dtype=np.float64)
+        score = self._kde_logpdf(cands, good, lo, hi) - self._kde_logpdf(cands, bad, lo, hi)
+        return choices[int(cand_idx[int(np.argmax(score))])]

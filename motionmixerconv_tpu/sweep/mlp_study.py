@@ -4,8 +4,7 @@ The reference script searches hidden_dim / num_blocks / tokens_mlp_dim /
 channels_mlp_dim / lr / regularization with the TPE default sampler and
 optimizes validation loss (optuna_main.py:168-191,245) — but is broken as
 shipped (it reads ``args.user`` before parsing, :42). This is the working
-equivalent on the native engine's RandomSampler (TPE-less environment), with
-the same search space.
+equivalent on the native engine's TPESampler with the same search space.
 
 Run: python -m motionmixerconv_tpu.sweep.mlp_study --data_dir ... --study_dir ...
 """
@@ -16,7 +15,7 @@ import argparse
 import copy
 import os
 
-from .engine import RandomSampler, Study
+from .engine import TPESampler, Study
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -83,7 +82,7 @@ def main(argv=None):
     study = Study(
         study_name=os.path.basename(args.study_dir),
         storage=f"sqlite:///{args.study_dir}/results.db",
-        sampler=RandomSampler(seed=args.seed),
+        sampler=TPESampler(seed=args.seed),
         directions=["minimize"],
     )
     study.optimize(

@@ -193,3 +193,53 @@ def test_grid_resume_covers_full_grid(tmp_path):
     assert points == sorted(
         (a, b) for a in (1, 2) for b in (10, 20, 30, 40)
     ), f"duplicates/holes in resumed grid: {points}"
+
+
+def test_tpe_beats_random_on_quadratic(tmp_path):
+    """TPE should concentrate samples near the optimum of a smooth objective
+    and find a better best-value than random search under the same budget."""
+    from motionmixerconv_tpu.sweep import TPESampler
+
+    def objective(trial):
+        x = trial.suggest_int("x", 0, 100)
+        y = trial.suggest_int("y", 0, 100)
+        return float((x - 70) ** 2 + (y - 30) ** 2)
+
+    tpe = Study("tpe", sampler=TPESampler(seed=0, n_startup=10))
+    tpe.optimize(objective, n_trials=60)
+    rnd = Study("rnd", sampler=RandomSampler(seed=0))
+    rnd.optimize(objective, n_trials=60)
+
+    best_tpe = tpe.best_trial.values[0]
+    best_rnd = rnd.best_trial.values[0]
+    assert best_tpe <= best_rnd, (best_tpe, best_rnd)
+    assert best_tpe < 200.0  # near the optimum
+
+
+def test_tpe_resume_replays_history(tmp_path):
+    from motionmixerconv_tpu.sweep import TPESampler
+
+    db = f"sqlite:///{tmp_path}/r.db"
+
+    def objective(trial):
+        return float(trial.suggest_int("x", 0, 50))
+
+    s1 = Study("t", storage=db, sampler=TPESampler(seed=1, n_startup=5))
+    s1.optimize(objective, n_trials=8)
+    s2 = Study("t", storage=db, sampler=TPESampler(seed=2, n_startup=5))
+    assert len(s2.sampler._history) == 8  # replayed, so TPE is warm on resume
+    s2.optimize(objective, n_trials=4)
+    assert len(s2.trials) == 12
+
+
+def test_tpe_categorical():
+    from motionmixerconv_tpu.sweep import TPESampler
+
+    def objective(trial):
+        c = trial.suggest_categorical("reg", [-1, 0, 0.1])
+        return 0.0 if c == 0.1 else 1.0
+
+    s = Study("c", sampler=TPESampler(seed=0, n_startup=6))
+    s.optimize(objective, n_trials=30)
+    late = [t.params["reg"] for t in s.trials[-10:]]
+    assert late.count(0.1) >= 7  # exploitation after startup
