@@ -236,3 +236,30 @@ def test_autoregressive_batchnorm_training(h36m_dir):
     assert any(
         not np.allclose(a, b) for a, b in zip(bs_before, bs_after)
     ), "running stats never updated"
+
+
+def test_direct_trainer_batchnorm_training(h36m_dir):
+    """regularization=-1 MlpMixer (a value the MLP study samples) trains and
+    updates running stats through the scan-epoch path."""
+    ds = H36MDataset(h36m_dir, 10, 10, 5, actions=["walking"], split=0)
+    frames = jnp.asarray(ds.frames)
+    model = MlpMixer(
+        num_classes=66, num_blocks=1, hidden_dim=24, tokens_mlp_dim=8,
+        channels_mlp_dim=24, seq_len=10, pred_len=10, activation="gelu",
+        regularization=-1.0, input_size=66, r_se=4, use_se=True,
+    )
+    tr = Trainer(
+        model, make_optimizer(lr=1e-3, steps_per_epoch=5),
+        loss_type="mpjpe", dim_used=H36M_DIM_USED_XYZ,
+        input_n=10, output_n=10, input_scale=1e-3,
+    )
+    state = tr.init_state(jax.random.PRNGKey(0))
+    bs_before = [np.array(x) for x in jax.tree_util.tree_leaves(state.batch_stats)]
+    assert bs_before
+    state, loss = tr.train_epoch(state, ds, frames, 32, seed=0)
+    assert np.isfinite(loss)
+    bs_after = [np.array(x) for x in jax.tree_util.tree_leaves(state.batch_stats)]
+    assert any(not np.allclose(a, b) for a, b in zip(bs_before, bs_after))
+    # eval uses the running stats without error
+    val = tr.validate(state, ds, frames, 64)
+    assert np.isfinite(val)
