@@ -145,3 +145,20 @@ def test_gather_and_batch_iteration(h36m_dir):
         assert batch.shape == (32, 20, 96)
         seen += int(w.sum())
     assert seen == len(ds)
+
+
+class TestAMASSParity:
+    """Item-level parity against the reference Datasets class, executed over
+    the same synthetic corpus with its hardcoded paths IO-redirected
+    (tools/gen_golden.py::golden_amass_dataset)."""
+
+    @pytest.mark.parametrize("split", [0, 1, 2])
+    def test_items_match_reference(self, tmp_path, split):
+        fixtures.make_amass_corpus(str(tmp_path), n_frames=300, frame_rate=50.0, seed=3)
+        g = np.load(os.path.join(GOLDEN, "dataset_amass.npz"))
+        ds = AMASSDataset(str(tmp_path), 10, 25, 5, split=split)
+        assert len(ds) == g[f"s{split}_len"]
+        for j, i in enumerate(g[f"s{split}_idxs"]):
+            np.testing.assert_allclose(
+                ds[int(i)], g[f"s{split}_items"][j], atol=1e-5
+            )

@@ -282,6 +282,53 @@ def golden_mixer_variants():
     print("mixer_variants.npz written")
 
 
+def golden_amass_dataset():
+    """Run the reference AMASS Datasets class on a synthetic corpus.
+
+    The reference hardcodes absolute corpus/skeleton paths
+    (dataloader_amass.py:31,79); they are redirected via os/np monkeypatches
+    (no reference code is modified). os.listdir is sorted to pin the
+    (otherwise filesystem-dependent) sequence order our loader uses.
+    """
+    import tempfile
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
+    from motionmixerconv_tpu.data import fixtures
+
+    td = tempfile.mkdtemp()
+    fixtures.make_amass_corpus(td, n_frames=300, frame_rate=50.0, seed=3)
+
+    REF_CORPUS = "/media/bouazia/bouazia_3/AMASS_dataset/"
+    REF_SKEL = "/lhome/bouazia/pose_prediction/utils/body_models/smpl_skeleton.npz"
+    MY_SKEL = os.path.join(repo_root, "motionmixerconv_tpu", "assets",
+                           "smpl_skeleton.npz")
+
+    def redirect(p):
+        p = str(p).replace(REF_CORPUS, td + "/")
+        return p.replace(REF_SKEL, MY_SKEL)
+
+    real_isdir, real_listdir, real_npload = os.path.isdir, os.listdir, np.load
+    os.path.isdir = lambda p: real_isdir(redirect(p))
+    os.listdir = lambda p: sorted(real_listdir(redirect(p)))
+    np.load = lambda p, *a, **k: real_npload(redirect(p), *a, **k)
+    try:
+        sys.path.insert(0, os.path.join(REFERENCE, "amass"))
+        import dataloader_amass as ref_am
+
+        arrays = {}
+        for split in (0, 1, 2):
+            ds = ref_am.Datasets(None, 10, 25, 5, split=split)
+            idxs = [0, 1, len(ds) // 2, len(ds) - 1]
+            arrays[f"s{split}_len"] = np.int64(len(ds))
+            arrays[f"s{split}_idxs"] = np.array(idxs)
+            arrays[f"s{split}_items"] = np.stack([np.asarray(ds[i]) for i in idxs])
+    finally:
+        os.path.isdir, os.listdir, np.load = real_isdir, real_listdir, real_npload
+    np.savez(os.path.join(OUT_DIR, "dataset_amass.npz"), **arrays)
+    print("dataset_amass.npz written")
+
+
 def golden_autoregressive():
     """Reference rollout (TF + closed-loop) on a fixed ConvMixer."""
     import argparse
@@ -390,5 +437,6 @@ if __name__ == "__main__":
     golden_find_indices()
     golden_models()
     golden_datasets()
+    golden_amass_dataset()
     golden_autoregressive()
     golden_mixer_variants()
