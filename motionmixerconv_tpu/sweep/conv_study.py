@@ -18,7 +18,7 @@ import copy
 import os
 
 from ..models import ConvMixer
-from .engine import GridSampler, Study
+from .engine import GridSampler, RandomSampler, Study, TPESampler
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -50,6 +50,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--smoothing_alpha", default=0.15, type=float)
     parser.add_argument("--n_trials", default=40, type=int)
     parser.add_argument("--timeout_hours", default=47.0, type=float)
+    parser.add_argument("--sampler", default="grid",
+                        choices=["grid", "random", "tpe"])
     parser.add_argument("--seed", default=0, type=int)
     return parser.parse_args(argv)
 
@@ -159,10 +161,15 @@ def main(argv=None):
     args = parse_args(argv)
     os.makedirs(args.study_dir, exist_ok=True)
     directions = ["minimize", "minimize"] if args.dataset_type == "h36m" else ["minimize"]
+    sampler = {
+        "grid": GridSampler,
+        "random": lambda: RandomSampler(seed=args.seed),
+        "tpe": lambda: TPESampler(seed=args.seed),
+    }[args.sampler]()
     study = Study(
         study_name=os.path.basename(args.study_dir),
         storage=f"sqlite:///{args.study_dir}/results.db",
-        sampler=GridSampler(),
+        sampler=sampler,
         directions=directions,
     )
     study.optimize(
