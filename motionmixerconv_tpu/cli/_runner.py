@@ -595,14 +595,13 @@ def make_amass_test_fn(trainer):
     Returns fn(state, corpus, frames, batch_size) -> float. Build once per
     run so the jitted step is compiled once.
     """
-    from ..data.windows import batch_starts, gather_windows
+    from ..data.windows import gather_windows
     from ..train.loop import _per_sample_mpjpe
 
     seq_len = trainer.input_n + trainer.output_n
     dim_used = jnp.asarray(trainer.dim_used)
 
-    @jax.jit
-    def step(variables, frames, starts, w):
+    def per_sample(variables, frames, starts):
         batch = gather_windows(frames, starts, seq_len)
         seq = jnp.take(batch, dim_used, axis=2)
         model_in = seq[:, : trainer.input_n]
@@ -610,14 +609,12 @@ def make_amass_test_fn(trainer):
         gt22 = batch[:, trainer.input_n :, : 22 * 3]
         all_seq = gt22.at[:, :, dim_used].set(pred)
         per = _per_sample_mpjpe(all_seq, gt22) * 1000.0
-        return jnp.sum(per * w), jnp.sum(w)
+        return per, per
+
+    trainer.register_eval_kind("amass22", per_sample)
 
     def run(state, corpus, frames, batch_size: int) -> float:
-        total, n = 0.0, 0.0
-        for starts, w in batch_starts(corpus, batch_size, shuffle=False):
-            s, ws = step(state.variables(), frames, jnp.asarray(starts), jnp.asarray(w))
-            total += float(s)
-            n += float(ws)
-        return total / max(n, 1.0)
+        # one scanned dispatch per epoch test, like train/val
+        return trainer.evaluate(state, corpus, frames, batch_size, kind="amass22")[0]
 
     return run

@@ -77,8 +77,6 @@ class AutoregressiveTrainer(Trainer):
             lambda s, f, st, w: self._ar_train_impl(s, f, st, w, False),
             donate_argnums=0,
         )
-        self._val_step_ar = jax.jit(self._ar_val_impl)
-        self._test_step_ar = jax.jit(self._ar_test_impl)
         self._epoch_scan_tf = jax.jit(
             lambda s, f, st, w: self._ar_epoch_scan_impl(s, f, st, w, True),
             donate_argnums=0,
@@ -181,22 +179,6 @@ class AutoregressiveTrainer(Trainer):
             loss,
         )
 
-    def _ar_val_impl(self, variables, frames, starts, w):
-        seq_len = self.input_n + self.output_n
-        batch = gather_windows(frames, starts, seq_len)
-        seq = jnp.take(batch, jnp.asarray(self.dim_used), axis=2) * self.input_scale
-        per_sample, _ = self._rollout(variables, seq, teacher_forcing=False)
-        return jnp.sum(per_sample * self.loss_scale * w), jnp.sum(w)
-
-    def _ar_test_impl(self, variables, frames, starts, w):
-        """Rollout loss + metric sums (train_autoreg_mixer_h36m.py:261-357,:360-412).
-
-        mpjpe: (rollout mpjpe, AUC-PCK of the stitched prediction, scaled by
-        ``auc_scale``). angle: (euler, joint-angle) on the full frame.
-        """
-        per_loss, per_metric = self._ar_test_per_sample(variables, frames, starts)
-        return jnp.sum(per_loss * w), jnp.sum(per_metric * w), jnp.sum(w)
-
     def _ar_epoch_scan_impl(self, state, frames, starts, w, teacher_forcing):
         """Whole epoch as one lax.scan dispatch (cf. Trainer._train_epoch_scan_impl)."""
 
@@ -209,7 +191,11 @@ class AutoregressiveTrainer(Trainer):
         return state, jnp.sum(loss_sums) / jnp.maximum(jnp.sum(w_sums), 1.0)
 
     def _ar_test_per_sample(self, variables, frames, starts):
-        """Per-sample (loss, metric) of the rollout test (see _ar_test_impl)."""
+        """Per-sample rollout test (train_autoreg_mixer_h36m.py:261-357,:360-412).
+
+        mpjpe: (rollout mpjpe, AUC-PCK of the stitched prediction, scaled by
+        ``auc_scale``). angle: (euler, joint-angle) on the full frame.
+        """
         seq_len = self.input_n + self.output_n
         batch = gather_windows(frames, starts, seq_len)
         seq = jnp.take(batch, jnp.asarray(self.dim_used), axis=2) * self.input_scale
@@ -254,8 +240,9 @@ class AutoregressiveTrainer(Trainer):
             for starts, w in batch_starts(corpus, batch_size, shuffle=True, seed=seed):
                 all_starts.append(starts)
                 all_w.append(w)
-            starts = jnp.asarray(np.stack(all_starts))
-            w = jnp.asarray(np.stack(all_w))
+            # same P(None, 'data') epoch sharding as Trainer.train_epoch —
+            # under a mesh, each scanned AR batch is split over 'data'.
+            starts, w = self._put_epoch_batches(np.stack(all_starts), np.stack(all_w))
             fn = self._epoch_scan_tf if teacher_forcing else self._epoch_scan_cl
             state, mean_loss = fn(state, frames, starts, w)
             mean_loss = float(mean_loss)
@@ -281,12 +268,17 @@ class AutoregressiveTrainer(Trainer):
 
     def evaluate_ar(self, state, corpus: WindowedCorpus, frames, batch_size: int,
                     kind: str = "val"):
-        fn = self._val_step_ar if kind == "val" else self._test_step_ar
-        sums = None
-        for starts, w in batch_starts(corpus, batch_size, shuffle=False):
-            starts, w = self._put_batch(starts, w)
-            out = [float(x) for x in fn(state.variables(), frames, starts, w)]
-            sums = out if sums is None else [a + b for a, b in zip(sums, out)]
+        """Closed-loop val loss / rollout test in one scanned dispatch.
+
+        kind: 'val' -> scalar rollout loss; 'test' -> (loss, metric) per
+        _ar_test_per_sample. Routed through evaluate_grouped (single group)
+        so no per-batch dispatch latency is paid.
+        """
+        grouped_kind = "val" if kind == "val" else "ar"
+        m1, m2, nn = self.evaluate_grouped(
+            state, frames, corpus.window_starts,
+            np.zeros(len(corpus), np.int64), 1, batch_size, grouped_kind,
+        )
         if kind == "val":
-            return sums[0] / max(sums[1], 1.0)
-        return sums[0] / max(sums[-1], 1.0), sums[1] / max(sums[-1], 1.0)
+            return float(m1[0] / max(nn[0], 1.0))
+        return float(m1[0] / max(nn[0], 1.0)), float(m2[0] / max(nn[0], 1.0))

@@ -138,10 +138,6 @@ class Trainer:
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
         self._train_epoch_scan = jax.jit(self._train_epoch_scan_impl, donate_argnums=0)
-        self._val_step = jax.jit(self._val_step_impl)
-        self._test_h36m_xyz = jax.jit(self._test_h36m_xyz_impl)
-        self._test_h36m_angle = jax.jit(self._test_h36m_angle_impl)
-        self._test_simple = jax.jit(self._test_simple_impl)
 
     # ------------------------------------------------------------------ init
 
@@ -254,36 +250,6 @@ class Trainer:
         state, (loss_sums, w_sums) = jax.lax.scan(step, state, (starts, w))
         return state, jnp.sum(loss_sums) / jnp.maximum(jnp.sum(w_sums), 1.0)
 
-    # -------------------------------------------------------------- val step
-
-    def _val_step_impl(self, variables, frames, starts, w):
-        per, _ = self._val_per_sample(variables, frames, starts)
-        return jnp.sum(per * w), jnp.sum(w)
-
-    # ---------------------------------------------------- h36m xyz test step
-
-    def _test_h36m_xyz_impl(self, variables, frames, starts, w):
-        """Full-skeleton 32-joint MPJPE + 22-joint AUC-PCK sums.
-
-        Parity: train_mixer_h36m.py:324-397.
-        """
-        per_mpjpe, per_auc = self._test_h36m_xyz_per_sample(variables, frames, starts)
-        return jnp.sum(per_mpjpe * w), jnp.sum(per_auc * w), jnp.sum(w)
-
-    # -------------------------------------------------- h36m angle test step
-
-    def _test_h36m_angle_impl(self, variables, frames, starts, w):
-        """Euler + joint-angle error sums (train_mixer_h36m.py:445-463)."""
-        per_euler, per_ja = self._test_h36m_angle_per_sample(variables, frames, starts)
-        return jnp.sum(per_euler * w), jnp.sum(per_ja * w), jnp.sum(w)
-
-    # ------------------------------------------------------ simple test step
-
-    def _test_simple_impl(self, variables, frames, starts, w):
-        """dim_used-space MPJPE + AUC-PCK sums (train_mixer_ais.py:340-357)."""
-        per_mpjpe, per_auc = self._test_simple_per_sample(variables, frames, starts)
-        return jnp.sum(per_mpjpe * w), jnp.sum(per_auc * w), jnp.sum(w)
-
     # ------------------------------------------------------------ epoch APIs
 
     def _put_batch(self, starts, w):
@@ -293,6 +259,21 @@ class Trainer:
             starts = jax.device_put(starts, self._batch_sharding)
             w = jax.device_put(w, self._batch_sharding)
         return starts, w
+
+    def _put_epoch_batches(self, *arrays):
+        """Shard stacked (n_batches, B, ...) index arrays as P(None, 'data').
+
+        Shared by every scan-over-batches path (train epoch, AR train epoch,
+        grouped eval) so that under a mesh each scanned batch is split across
+        the 'data' axis and XLA inserts the gradient/metric all-reduces.
+        """
+        out = [jnp.asarray(a) for a in arrays]
+        if self._batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            out = [jax.device_put(a, sh) for a in out]
+        return out if len(out) > 1 else out[0]
 
     def train_epoch(
         self, state: TrainState, corpus: WindowedCorpus, frames, batch_size: int,
@@ -309,14 +290,7 @@ class Trainer:
             for starts, w in batch_starts(corpus, batch_size, shuffle=True, seed=seed):
                 all_starts.append(starts)
                 all_w.append(w)
-            starts = jnp.asarray(np.stack(all_starts))
-            w = jnp.asarray(np.stack(all_w))
-            if self._batch_sharding is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                sh = NamedSharding(self.mesh, P(None, "data"))
-                starts = jax.device_put(starts, sh)
-                w = jax.device_put(w, sh)
+            starts, w = self._put_epoch_batches(np.stack(all_starts), np.stack(all_w))
             state, mean_loss = self._train_epoch_scan(state, frames, starts, w)
             return state, float(mean_loss)
 
@@ -349,16 +323,11 @@ class Trainer:
         starts = np.concatenate([window_starts, np.zeros(pad, np.int64)])
         w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
         gids = np.concatenate([group_ids, np.zeros(pad, np.int64)])
-        starts = jnp.asarray(starts.reshape(n_batches, bs).astype(np.int32))
-        w = jnp.asarray(w.reshape(n_batches, bs))
-        gids = jnp.asarray(gids.reshape(n_batches, bs).astype(np.int32))
-        if self._batch_sharding is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sh = NamedSharding(self.mesh, P(None, "data"))
-            starts = jax.device_put(starts, sh)
-            w = jax.device_put(w, sh)
-            gids = jax.device_put(gids, sh)
+        starts, w, gids = self._put_epoch_batches(
+            starts.reshape(n_batches, bs).astype(np.int32),
+            w.reshape(n_batches, bs),
+            gids.reshape(n_batches, bs).astype(np.int32),
+        )
 
         run = self._grouped_fn(kind, n_groups)
         m1, m2, nn = run(state.variables(), frames, starts, w, gids)
@@ -391,7 +360,18 @@ class Trainer:
         self._grouped_cache[key] = run
         return run
 
+    def register_eval_kind(self, name: str, per_sample_fn) -> None:
+        """Register a custom per-sample eval: fn(variables, frames, starts) ->
+        (per1, per2), usable as ``kind`` in evaluate/evaluate_grouped (e.g.
+        the AMASS 22-joint-scatter test in cli/_runner.py)."""
+        if not hasattr(self, "_custom_kinds"):
+            self._custom_kinds = {}
+        self._custom_kinds[name] = per_sample_fn
+
     def _per_sample_for_kind(self, kind: str):
+        custom = getattr(self, "_custom_kinds", {})
+        if kind in custom:
+            return custom[kind]
         return {
             "val": self._val_per_sample,
             "h36m_xyz": self._test_h36m_xyz_per_sample,
@@ -427,6 +407,10 @@ class Trainer:
     # per-sample variants of the test metrics (shared by evaluate/evaluate_grouped)
 
     def _test_h36m_xyz_per_sample(self, variables, frames, starts):
+        """Full-skeleton 32-joint MPJPE + 22-joint AUC-PCK per sample.
+
+        Parity: train_mixer_h36m.py:324-397.
+        """
         seq_len = self.input_n + self.output_n
         batch = gather_windows(frames, starts, seq_len)
         model_in, seq_gt, last = self._prepare(batch)
@@ -452,6 +436,7 @@ class Trainer:
         return per_mpjpe, per_auc
 
     def _test_h36m_angle_per_sample(self, variables, frames, starts):
+        """Euler + joint-angle per-sample errors (train_mixer_h36m.py:445-463)."""
         seq_len = self.input_n + self.output_n
         batch = gather_windows(frames, starts, seq_len)
         model_in, seq_gt, last = self._prepare(batch)
@@ -461,6 +446,7 @@ class Trainer:
         return _per_sample_euler(all_seq, full_gt), _per_sample_joint_angle(all_seq, full_gt)
 
     def _test_simple_per_sample(self, variables, frames, starts):
+        """dim_used-space MPJPE + AUC-PCK per sample (train_mixer_ais.py:340-357)."""
         seq_len = self.input_n + self.output_n
         batch = gather_windows(frames, starts, seq_len)
         model_in, seq_gt, last = self._prepare(batch)
@@ -479,21 +465,16 @@ class Trainer:
         self, state: TrainState, corpus: WindowedCorpus, frames, batch_size: int,
         kind: str = "val",
     ):
-        """kind: 'val' -> scalar loss; 'h36m_xyz'/'h36m_angle'/'simple' ->
-        (metric1, metric2) per the matching test step."""
-        fns = {
-            "val": self._val_step,
-            "h36m_xyz": self._test_h36m_xyz,
-            "h36m_angle": self._test_h36m_angle,
-            "simple": self._test_simple,
-        }
-        fn = fns[kind]
-        sums = None
-        for starts, w in batch_starts(corpus, batch_size, shuffle=False):
-            starts, w = self._put_batch(starts, w)
-            out = fn(state.variables(), frames, starts, w)
-            out = [float(x) for x in out]
-            sums = out if sums is None else [a + b for a, b in zip(sums, out)]
+        """kind: 'val' -> scalar loss; 'h36m_xyz'/'h36m_angle'/'simple' (or a
+        registered custom kind) -> (metric1, metric2) per the matching test.
+
+        One scanned dispatch over all batches (evaluate_grouped with a single
+        group) — no per-batch host round-trips on high-latency runtimes.
+        """
+        m1, m2, nn = self.evaluate_grouped(
+            state, frames, corpus.window_starts,
+            np.zeros(len(corpus), np.int64), 1, batch_size, kind,
+        )
         if kind == "val":
-            return sums[0] / max(sums[1], 1.0)
-        return sums[0] / max(sums[-1], 1.0), sums[1] / max(sums[-1], 1.0)
+            return float(m1[0] / max(nn[0], 1.0))
+        return float(m1[0] / max(nn[0], 1.0)), float(m2[0] / max(nn[0], 1.0))

