@@ -3,6 +3,9 @@ from .rotations import (
     rotmat2euler,
     rotmat2quat,
     expmap2quat,
+    quat2expmap,
+    rotmat2expmap,
+    quat_norm_valid,
     rodrigues,
 )
 from .forward_kinematics import (
@@ -19,6 +22,9 @@ __all__ = [
     "rotmat2euler",
     "rotmat2quat",
     "expmap2quat",
+    "quat2expmap",
+    "rotmat2expmap",
+    "quat_norm_valid",
     "rodrigues",
     "h36m_skeleton",
     "cmu_skeleton",

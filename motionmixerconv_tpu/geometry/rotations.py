@@ -125,6 +125,57 @@ def expmap2quat(exp: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([coshalf, v * sinhalf], axis=-1)
 
 
+_F32_EPS = float(jnp.finfo(jnp.float32).eps)
+
+
+def quat_norm_valid(q: jnp.ndarray, tol: float = 1e-3) -> jnp.ndarray:
+    """(..., 4) -> (...,) bool: which quaternions pass the reference's
+    unit-norm guard.
+
+    The reference ``quat2expmap`` *raises* on ``| ||q|| - 1 | > 1e-3``
+    (h36m/utils/data_utils.py:97-111); raising is impossible in a batched,
+    jit-compiled kernel, so the guard is exposed as this mask — callers that
+    want the reference's strict semantics check it host-side.
+    """
+    return jnp.abs(jnp.linalg.norm(q, axis=-1) - 1.0) <= tol
+
+
+def quat2expmap(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (w, x, y, z) -> exponential map, batched.
+
+    Parity with reference ``quat2expmap`` (h36m/utils/data_utils.py:97-125),
+    including its float32-eps normalisation and the theta > pi shortening
+    (the result angle is always in [0, pi]). The reference's ValueError on
+    non-unit quaternions is replaced by the :func:`quat_norm_valid` mask.
+
+    Args:
+        q: (..., 4) quaternions.
+    Returns:
+        (..., 3) exponential-map vectors.
+    """
+    sinhalf = jnp.linalg.norm(q[..., 1:], axis=-1)
+    coshalf = q[..., 0]
+    r0 = q[..., 1:] / (sinhalf[..., None] + _F32_EPS)
+    theta = 2.0 * jnp.arctan2(sinhalf, coshalf)
+    theta = jnp.mod(theta + 2.0 * jnp.pi, 2.0 * jnp.pi)
+    flip = theta > jnp.pi
+    theta = jnp.where(flip, 2.0 * jnp.pi - theta, theta)
+    r0 = jnp.where(flip[..., None], -r0, r0)
+    return r0 * theta[..., None]
+
+
+def rotmat2expmap(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> exponential map, batched.
+
+    Parity with reference ``rotmat2expmap`` = ``quat2expmap(rotmat2quat(R))``
+    (h36m/utils/data_utils.py:73-74). The numpy reference's rotmat2quat uses a
+    float32-eps axis guard where our batched :func:`rotmat2quat` uses the
+    torch kernel's 1e-8; the difference only surfaces inside the eps-ball
+    around the identity, where the output is ~0 either way.
+    """
+    return quat2expmap(rotmat2quat(R))
+
+
 def rodrigues(r: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Axis-angle -> rotation matrix, SMPL convention.
 

@@ -176,7 +176,7 @@ class Study:
                 )
                 self.trials.append(ft)
                 if ft.state == "COMPLETE" and ft.values and hasattr(self.sampler, "observe"):
-                    self.sampler.observe(ft.params, ft.values[0])
+                    self.sampler.observe(ft.params, ft.values, self.directions)
 
     @staticmethod
     def _json_default(o):
@@ -191,7 +191,7 @@ class Study:
         frozen = FrozenTrial(trial.number, state, values, trial.params, trial.user_attrs)
         self.trials.append(frozen)
         if state == "COMPLETE" and values and hasattr(self.sampler, "observe"):
-            self.sampler.observe(trial.params, values[0])
+            self.sampler.observe(trial.params, values, self.directions)
         if self._conn is not None:
             self._conn.execute(
                 "INSERT INTO trials VALUES (?,?,?,?,?,?,?)",
@@ -297,6 +297,12 @@ class TPESampler(Sampler):
     modeled independently (like optuna's default multivariate=False).
 
     The owning Study feeds it completed trials via ``observe``.
+
+    Multi-objective studies (the reference's two-objective h36m conv study,
+    conv_optuna_main.py:328-331) are handled honestly: every objective is
+    observed, direction-adjusted, and the good/bad split is made on the
+    scale-free rank-sum across objectives (a one-time warning notes this —
+    the reference's own TPE study is single-objective).
     """
 
     def __init__(self, seed: int = 0, n_startup: int = 10, gamma: float = 0.25,
@@ -307,10 +313,37 @@ class TPESampler(Sampler):
         self.n_startup = n_startup
         self.gamma = gamma
         self.n_candidates = n_candidates
-        self._history: list[tuple[dict, float]] = []  # (params, objective)
+        # (params, direction-adjusted objective vector); lower is better
+        self._history: list[tuple[dict, list]] = []
+        self._warned_multiobjective = False
 
-    def observe(self, params: dict, value: float) -> None:
-        self._history.append((dict(params), float(value)))
+    def observe(self, params: dict, values, directions=("minimize",)) -> None:
+        vals = list(values) if isinstance(values, (tuple, list)) else [values]
+        dirs = list(directions) + ["minimize"] * (len(vals) - len(directions))
+        signed = [float(v) if d == "minimize" else -float(v)
+                  for v, d in zip(vals, dirs)]
+        if len(signed) > 1 and not self._warned_multiobjective:
+            self._warned_multiobjective = True
+            import warnings
+
+            warnings.warn(
+                "TPESampler on a multi-objective study: the good/bad split "
+                "uses the rank-sum over ALL objectives (scale-free "
+                "scalarization), not a Pareto-aware MOTPE.",
+                stacklevel=2,
+            )
+        self._history.append((dict(params), signed))
+
+    @staticmethod
+    def _scalar_keys(done: list) -> list:
+        """Direction-adjusted values -> sortable scalars (rank-sum if multi)."""
+        import numpy as np
+
+        vals = np.asarray([v for _, v in done], dtype=np.float64)
+        if vals.shape[1] == 1:
+            return list(vals[:, 0])
+        ranks = np.argsort(np.argsort(vals, axis=0), axis=0)
+        return list(ranks.sum(axis=1).astype(np.float64))
 
     def _kde_logpdf(self, xs, obs, lo, hi):
         import numpy as np
@@ -329,7 +362,8 @@ class TPESampler(Sampler):
 
         numeric = all(isinstance(c, (int, float)) and not isinstance(c, bool)
                       for c in choices)
-        done.sort(key=lambda t: t[1])
+        keys = self._scalar_keys(done)
+        done = [done[i] for i in np.argsort(keys, kind="stable")]
         n_good = max(1, int(np.ceil(self.gamma * len(done))))
         good = [p[name] for p, _ in done[:n_good]]
         bad = [p[name] for p, _ in done[n_good:]] or good

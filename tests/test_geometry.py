@@ -18,8 +18,11 @@ from motionmixerconv_tpu.geometry import (
     expmap2xyz,
     fkl,
     load_smpl_skeleton,
+    quat2expmap,
+    quat_norm_valid,
     rodrigues,
     rotmat2euler,
+    rotmat2expmap,
     rotmat2quat,
 )
 
@@ -61,6 +64,38 @@ class TestRotations:
         R = np.asarray(expmap2rotmat(jnp.asarray(g["r"])))
         eye = np.einsum("nij,nkj->nik", R, R)
         np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5)
+
+    def test_quat2expmap(self):
+        """Golden vs reference quat2expmap (data_utils.py:97-125), incl. the
+        identity quaternion and a theta > pi (w < 0) flip case."""
+        g = _load("rotations.npz")
+        r = quat2expmap(jnp.asarray(g["quats_for_expmap"]))
+        np.testing.assert_allclose(r, g["quat2expmap"], atol=1e-5)
+
+    def test_quat_norm_valid_mask(self):
+        """The batched replacement for the reference's unit-norm ValueError."""
+        g = _load("rotations.npz")
+        q = np.asarray(g["quats_for_expmap"])
+        assert bool(np.all(quat_norm_valid(jnp.asarray(q))))
+        bad = np.concatenate([q, 2.0 * q[:1], 0.5 * q[:1]])
+        mask = np.asarray(quat_norm_valid(jnp.asarray(bad)))
+        assert not mask[-1] and not mask[-2] and mask[:-2].all()
+
+    def test_rotmat2expmap(self):
+        """Golden vs reference rotmat2expmap = quat2expmap(rotmat2quat(R))
+        (data_utils.py:73-74)."""
+        g = _load("rotations.npz")
+        r = rotmat2expmap(jnp.asarray(g["R"]))
+        np.testing.assert_allclose(r, g["rotmat2expmap"], atol=1e-4)
+
+    def test_expmap_roundtrip(self):
+        """rotmat2expmap(expmap2rotmat(r)) recovers r for |r| in (0, pi)."""
+        g = _load("rotations.npz")
+        r = np.asarray(g["r"][2:])  # skip the exact-zero / 1e-9 edge rows
+        norms = np.linalg.norm(r, axis=-1, keepdims=True)
+        r = r / norms * np.clip(norms, 1e-2, np.pi - 1e-2)
+        back = rotmat2expmap(expmap2rotmat(jnp.asarray(r)))
+        np.testing.assert_allclose(back, r, atol=1e-4)
 
     def test_vmap_and_jit_compose(self):
         g = _load("rotations.npz")

@@ -243,3 +243,46 @@ def test_tpe_categorical():
     s.optimize(objective, n_trials=30)
     late = [t.params["reg"] for t in s.trials[-10:]]
     assert late.count(0.1) >= 7  # exploitation after startup
+
+
+def test_tpe_multi_objective_observes_all_objectives():
+    """Two-objective TPE (the h36m conv study shape): the second objective
+    must influence the good/bad split — it used to be silently dropped."""
+    import warnings
+
+    from motionmixerconv_tpu.sweep import TPESampler
+
+    def objective(trial):
+        x = trial.suggest_int("x", 0, 100)
+        # objective 1 is constant: only objective 2 can guide the search
+        return 1.0, float((x - 25) ** 2)
+
+    s = Study(
+        "mo", sampler=TPESampler(seed=0, n_startup=10),
+        directions=["minimize", "minimize"],
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        s.optimize(objective, n_trials=60)
+    assert any("multi-objective" in str(w.message) for w in caught)
+    # every observation keeps both objectives
+    assert all(len(v) == 2 for _, v in s.sampler._history)
+    # the search exploits objective 2 (would be random if values[1] were dropped)
+    late = [t.params["x"] for t in s.trials[-15:]]
+    assert sum(abs(x - 25) <= 15 for x in late) >= 10, late
+
+
+def test_tpe_respects_maximize_direction():
+    """observe() direction-adjusts values, so a maximize study exploits high
+    values (previously direction was ignored by the sampler)."""
+    from motionmixerconv_tpu.sweep import TPESampler
+
+    def objective(trial):
+        x = trial.suggest_int("x", 0, 100)
+        return -float((x - 80) ** 2)
+
+    s = Study("mx", sampler=TPESampler(seed=0, n_startup=10),
+              directions=["maximize"])
+    s.optimize(objective, n_trials=60)
+    late = [t.params["x"] for t in s.trials[-15:]]
+    assert sum(abs(x - 80) <= 15 for x in late) >= 10, late

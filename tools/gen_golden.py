@@ -60,6 +60,19 @@ def golden_rotations():
     R_lock_fixed[1, 0, 2] = 1.0
     eul_lock = ref_du.rotmat2euler_torch(R_lock_fixed)
 
+    # quat -> expmap (numpy reference, per-row) on the unit quats produced by
+    # rotmat2quat above, plus identity and a theta>pi case (w<0 hemisphere)
+    quats = quat.numpy().astype(np.float64)
+    quats = np.concatenate(
+        [quats,
+         np.array([[1.0, 0, 0, 0],                       # identity
+                   [-0.5, np.sqrt(0.75), 0, 0]])], axis=0  # theta > pi branch
+    )
+    q2e = np.stack([ref_du.quat2expmap(qq) for qq in quats])
+    # rotmat -> expmap composition on the reference's own numpy path
+    Rn = R.numpy().astype(np.float64)
+    r2e = np.stack([ref_du.rotmat2expmap(RR) for RR in Rn])
+
     np.savez(
         os.path.join(OUT_DIR, "rotations.npz"),
         r=r,
@@ -69,6 +82,9 @@ def golden_rotations():
         equat=equat.numpy(),
         R_lock=R_lock_fixed.numpy(),
         eul_lock=eul_lock.numpy(),
+        quats_for_expmap=quats.astype(np.float32),
+        quat2expmap=q2e.astype(np.float32),
+        rotmat2expmap=r2e.astype(np.float32),
     )
     print("rotations.npz written")
 
