@@ -389,6 +389,146 @@ def golden_autoregressive():
     print("autoregressive.npz written")
 
 
+def _smooth_motion(rs, n_steps, b, t, d, amplitude, noise):
+    """(n_steps, b, t, d) batches of smooth sinusoidal 'motion'."""
+    tt = np.arange(t)[None, None, :, None]
+    out = np.zeros((n_steps * b, 1, t, d), np.float64)
+    for _ in range(3):
+        freq = rs.uniform(0.2, 2.0, size=(n_steps * b, 1, 1, d))
+        phase = rs.uniform(0, 2 * np.pi, size=(n_steps * b, 1, 1, d))
+        amp = rs.uniform(0.2, 1.0, size=(n_steps * b, 1, 1, d)) * amplitude / 3
+        out = out + amp * np.sin(2 * np.pi * freq * tt / t + phase)
+    out = out + rs.randn(n_steps * b, 1, t, d) * noise
+    return out.reshape(n_steps, b, t, d).astype(np.float32)
+
+
+def golden_train_parity():
+    """Lockstep optimizer/scheduler trajectory from the reference training.
+
+    Replicates EXACTLY what the reference train loops do per step — h36m
+    mpjpe: ``loss = mpjpe_error(model(x/1000), gt_mm)``
+    (train_mixer_h36m.py:179-181) and amass:
+    ``loss = mpjpe_error(model(x), gt) * 1000`` (train_mixer_amass.py:88-103)
+    — with ``optim.Adam(lr, weight_decay=1e-5)`` (:63) and
+    ``MultiStepLR.step()`` once per epoch (:248-249). 30 steps = 3 epochs x
+    10 steps, milestones [1, 2], so the trajectory crosses TWO lr-decay
+    boundaries; any scheduler off-by-one or Adam-coupling mismatch in the
+    JAX port shows up as loss/param divergence. Dropout is disabled
+    (regularization=0) so the trajectory is deterministic.
+    """
+    sys.path.insert(0, os.path.join(REFERENCE, "conv_mixer"))
+    from h36m.conv_mixer_model import ConvMixer as RefConvMixer
+    from h36m.mlp_mixer import MlpMixer as RefMlpMixer
+    from h36m.utils.utils_mixer import mpjpe_error
+
+    import torch.optim as optim
+
+    LR, GAMMA, MILESTONES, SPE, EPOCHS = 1e-3, 0.1, [1, 2], 10, 3
+
+    def run(model, batches_in, batches_gt, loss_fn):
+        sd_init = {k: v.detach().clone().numpy() for k, v in model.state_dict().items()}
+        opt = optim.Adam(model.parameters(), lr=LR, weight_decay=1e-05)
+        sched = optim.lr_scheduler.MultiStepLR(opt, milestones=MILESTONES, gamma=GAMMA)
+        model.train()
+        losses, lrs = [], []
+        for epoch in range(EPOCHS):
+            for s in range(SPE):
+                i = epoch * SPE + s
+                opt.zero_grad()
+                loss = loss_fn(model, batches_in[i], batches_gt[i])
+                loss.backward()
+                opt.step()
+                losses.append(loss.item())
+                lrs.append(opt.param_groups[0]["lr"])
+            sched.step()
+        sd_final = {k: v.detach().clone().numpy() for k, v in model.state_dict().items()}
+        return sd_init, sd_final, np.array(losses, np.float64), np.array(lrs, np.float64)
+
+    arrays = {
+        "lr": np.float64(LR), "gamma": np.float64(GAMMA),
+        "milestones": np.array(MILESTONES), "steps_per_epoch": np.int64(SPE),
+        "n_steps": np.int64(EPOCHS * SPE),
+    }
+
+    # --- ConvMixer, h36m mpjpe CLI defaults (train_mixer_h36m.py:575-595),
+    # dropout off ---
+    torch.manual_seed(40)
+    conv = RefConvMixer(
+        num_blocks=4, dimPosIn=66, dimPosEmb=50, dimPosOut=66, in_nTP=10,
+        out_nTP=25, conv_nChan=1, conv1_kernel_shape=(1, 3),
+        conv1_stride=(1, 1), conv1_padding=(0, 1), mode_conv="twice",
+        activation="mish", regularization=0.0, use_se=True, r_se=8,
+        use_max_pooling=False, encoder_n_harmonic_functions=64,
+        encoder_omega0=0.1,
+    )
+    rs = _seeded(77)
+    # LEARNABLE smooth trajectories (superposed sinusoids + small noise), not
+    # white noise: on unpredictable data every gradient element is noise-level
+    # and Adam's first-step +-lr*sign(g) makes any two float32 trajectories
+    # random-walk apart, leaving nothing to compare. Smooth motion gives
+    # sign-stable gradients and a decreasing loss, so optimizer/scheduler
+    # drift is actually detectable.
+    conv_batches = _smooth_motion(rs, 30, 8, 35, 66, amplitude=300.0, noise=3.0)
+    cin = torch.from_numpy(conv_batches[:, :, :10])
+    cgt = torch.from_numpy(conv_batches[:, :, 10:35])
+
+    def h36m_loss(model, x, gt):
+        return mpjpe_error(model(x / 1000.0), gt)
+
+    # step-0 gradient tree: pins the full forward+backward algebra at 1e-6
+    # (independent of optimizer-trajectory float drift)
+    conv.zero_grad()
+    h36m_loss(conv, cin[0], cgt[0]).backward()
+    arrays.update(
+        {f"conv_grad0::{k}": p.grad.detach().numpy().copy()
+         for k, p in conv.named_parameters()}
+    )
+    conv.zero_grad()
+
+    sd0, sd1, losses, lrs = run(conv, cin, cgt, h36m_loss)
+    arrays.update({f"conv_init::{k}": v for k, v in sd0.items()})
+    arrays.update({f"conv_final::{k}": v for k, v in sd1.items()})
+    arrays.update(conv_batches=conv_batches, conv_losses=losses, conv_lrs=lrs)
+
+    # --- MlpMixer, amass-style (meters in, loss x1000), dropout off ---
+    torch.manual_seed(41)
+    mlp = RefMlpMixer(
+        num_classes=54, num_blocks=3, hidden_dim=64, tokens_mlp_dim=20,
+        channels_mlp_dim=64, seq_len=10, pred_len=25, activation="gelu",
+        regularization=0.0, input_size=54, r_se=8, use_se=True,
+    )
+    mlp_batches = _smooth_motion(rs, 30, 8, 35, 54, amplitude=0.3, noise=0.003)
+    min_, mgt = torch.from_numpy(mlp_batches[:, :, :10]), torch.from_numpy(mlp_batches[:, :, 10:35])
+
+    def amass_loss(model, x, gt):
+        return mpjpe_error(model(x), gt) * 1000.0
+
+    sd0, sd1, losses, lrs = run(mlp, min_, mgt, amass_loss)
+    arrays.update({f"mlp_init::{k}": v for k, v in sd0.items()})
+    arrays.update({f"mlp_final::{k}": v for k, v in sd1.items()})
+    arrays.update(mlp_batches=mlp_batches, mlp_losses=losses, mlp_lrs=lrs)
+
+    # --- decay-coupling discriminator: same MlpMixer init, weight_decay=1e-2
+    # (the production 1e-5 is numerically indistinguishable from decoupled
+    # AdamW over 30 steps; 1e-2 separates torch's coupled L2 — decay folded
+    # into the gradient BEFORE the Adam moments — from decoupled decay) ---
+    mlp.load_state_dict({k: torch.from_numpy(v) for k, v in sd0.items()})
+    opt = optim.Adam(mlp.parameters(), lr=LR, weight_decay=1e-2)
+    mlp.train()
+    wd_losses = []
+    for i in range(EPOCHS * SPE):
+        opt.zero_grad()
+        loss = amass_loss(mlp, min_[i], mgt[i])
+        loss.backward()
+        opt.step()
+        wd_losses.append(loss.item())
+    arrays["mlp_wd_losses"] = np.array(wd_losses, np.float64)
+    arrays["wd_large"] = np.float64(1e-2)
+
+    np.savez(os.path.join(OUT_DIR, "train_parity.npz"), **arrays)
+    print("train_parity.npz written")
+
+
 def golden_datasets():
     """Run the reference dataset classes over synthetic corpora."""
     import tempfile
@@ -456,3 +596,4 @@ if __name__ == "__main__":
     golden_amass_dataset()
     golden_autoregressive()
     golden_mixer_variants()
+    golden_train_parity()
