@@ -185,6 +185,330 @@ class FusedConvMixer:
         return self._run(x, block_b, interpret)
 
 
+def make_fused_conv_mixer(model, variables: dict):
+    """Kernel factory: conv_nChan == 1 -> FusedConvMixer (roll-stencil
+    kernel); conv_nChan >= 2 -> FusedConvMixerMC (lane-matmul kernel).
+    Raises NotImplementedError for unsupported configs (BatchNorm,
+    max-pool SE, C*T > 128)."""
+    if getattr(model, "conv_nChan", 1) == 1:
+        return FusedConvMixer(model, variables)
+    return FusedConvMixerMC(model, variables)
+
+
+class FusedConvMixerMC:
+    """Fused multi-channel ConvMixer (the study's conv_nChan=8 shape).
+
+    Layout: activations live as (batch, Ep, R) — embedding E on sublanes,
+    R = conv_nChan * in_nTP fused (channel, time) pairs on lanes. In this
+    layout each 'same' Conv2d over (T, E) with full C_in x C_out channel
+    mixing (reference ConvBlock, h36m/conv_mixer_model.py:101-142) becomes
+    kw MXU matmuls: for each E-offset the (time-shift x channel-mix) part of
+    the kernel is folded into one precomputed (R, R) block-Toeplitz matrix
+    M_de[ci*T + t + dt - ph, co*T + t] = w[dt, de, ci, co], and the E-shift
+    is a sublane roll. No per-tap scalar stencils, so kernels as large as
+    the study's (9, 29) compile to 29 matmuls instead of 9*29*64 FMAs.
+
+    Per-block weights stream HBM->VMEM through a (batch_tiles, num_blocks)
+    grid (the mix matrices for all 6 study blocks would not fit VMEM at
+    once); the activation carries across block steps in VMEM scratch.
+
+    Constraints: conv_nChan * in_nTP <= 128, no BatchNorm, avg-pool SE.
+    Inference only, like FusedConvMixer.
+    """
+
+    def __init__(self, model, variables: dict):
+        cfg = model
+        self.C = cfg.conv_nChan
+        self.T, self.P = cfg.in_nTP, cfg.out_nTP
+        self.E = cfg.dimPosEmb
+        self.R = self.C * self.T
+        if self.R > LANE:
+            raise NotImplementedError(
+                f"fused MC kernel needs conv_nChan*in_nTP <= {LANE}, got {self.R}"
+            )
+        if cfg.regularization == -1.0:
+            raise NotImplementedError("BatchNorm configs not supported")
+        if cfg.use_se and cfg.use_max_pooling:
+            raise NotImplementedError("max-pool SE not supported in the MC kernel")
+        self.model = model
+        self.variables = variables
+        self.D_out = cfg.dimPosOut
+        self.use_se = cfg.use_se
+        self.activation = cfg.activation
+        self.num_blocks = cfg.num_blocks
+        self.mode_twice = cfg.mode_conv == "twice"
+        self.Ep = max(_ceil(self.E, LANE), LANE)
+        self.Pp = LANE  # decoder P lanes, padded
+
+        k1 = tuple(cfg.conv1_kernel_shape)
+        k2 = (cfg.conv2_kernel_shape or (min(k1[1], self.T), min(k1[0], self.E))) \
+            if self.mode_twice else (1, 1)
+        self.k1, self.k2 = k1, k2
+
+        p = jax.device_get(variables["params"])
+        nb, C, T, E, R, Ep = (self.num_blocks, self.C, self.T, self.E,
+                              self.R, self.Ep)
+
+        def mix_matrices(w, kh, kw):
+            """flax HWIO conv kernel -> (kw, R, R) lane-mix matrices."""
+            M = np.zeros((kw, LANE, LANE), np.float32)
+            t_out = np.arange(T)
+            for de in range(kw):
+                for dt in range(kh):
+                    t_in = t_out + dt - (kh - 1) // 2
+                    ok = (t_in >= 0) & (t_in < T)
+                    for ci in range(C):
+                        for co in range(C):
+                            M[de, ci * T + t_in[ok], co * T + t_out[ok]] += \
+                                float(w[dt, de, ci, co])
+            return M
+
+        def bias_lanes(b):
+            """per-C_out conv bias -> (1, R->LANE) lane vector (b[r // T])."""
+            v = np.zeros((1, LANE), np.float32)
+            v[0, :R] = np.repeat(np.asarray(b, np.float32), T)
+            return v
+
+        def ln_plane(v):
+            """per-E LN param -> (Ep, LANE) sublane plane (replicated lanes)."""
+            out = np.zeros((Ep, LANE), np.float32)
+            out[:E, :] = np.asarray(v, np.float32)[:, None]
+            return out
+
+        def stack(fn):
+            return np.stack([fn(p[f"Mixer_Block_{i}"]) for i in range(nb)])
+
+        self.c1_mix = stack(lambda bp: mix_matrices(
+            np.asarray(bp["conv1"]["conv"]["kernel"]), k1[0], k1[1]))
+        self.c1_bias = stack(lambda bp: bias_lanes(bp["conv1"]["conv"]["bias"]))
+        self.ln1_g = stack(lambda bp: ln_plane(bp["LN1"]["scale"]))
+        self.ln1_b = stack(lambda bp: ln_plane(bp["LN1"]["bias"]))
+        if self.mode_twice:
+            self.c2_mix = stack(lambda bp: mix_matrices(
+                np.asarray(bp["conv2"]["conv"]["kernel"]), k2[0], k2[1]))
+            self.c2_bias = stack(lambda bp: bias_lanes(bp["conv2"]["conv"]["bias"]))
+            self.ln2_g = stack(lambda bp: ln_plane(bp["LN2"]["scale"]))
+            self.ln2_b = stack(lambda bp: ln_plane(bp["LN2"]["bias"]))
+        else:
+            self.c2_mix = np.zeros((nb, 1, LANE, LANE), np.float32)
+            self.c2_bias = np.zeros_like(self.c1_bias)
+            self.ln2_g = np.zeros_like(self.ln1_g)
+            self.ln2_b = np.zeros_like(self.ln1_b)
+
+        # SE: squeeze matrix G sums each t's lanes over channels (x 1/(E*C)),
+        # H scatters the (T,) gate back to (R,) lanes.
+        G = np.zeros((LANE, LANE), np.float32)
+        H = np.zeros((LANE, LANE), np.float32)
+        for c in range(C):
+            for t in range(T):
+                G[c * T + t, t] = 1.0 / (E * C)
+                H[t, c * T + t] = 1.0
+        self.se_G, self.se_H = G, H
+        if self.use_se:
+            self.se_w1 = stack(lambda bp: _pad2(bp["se"]["fc1"]["kernel"], LANE, LANE))
+            self.se_w2 = stack(lambda bp: _pad2(bp["se"]["fc2"]["kernel"], LANE, LANE))
+        else:
+            self.se_w1 = np.zeros((nb, LANE, LANE), np.float32)
+            self.se_w2 = np.zeros((nb, LANE, LANE), np.float32)
+
+        # decoder: LN planes; time-upsample + channel projection folded into
+        # one (R, P) lane matmul M_dec[c*T+t, p] = W_time[t, p] * W_chan[c],
+        # bias_dec[p] = b_time[p] * sum_c W_chan[c] + b_proj
+        self.g_ln = ln_plane(p["LN"]["scale"])
+        self.b_ln = ln_plane(p["LN"]["bias"])
+        w_time = np.asarray(p["conv_out"]["kernel"], np.float32)      # (T, P)
+        b_time = np.asarray(p["conv_out"]["bias"], np.float32)        # (P,)
+        w_chan = np.asarray(p["project_channels"]["kernel"], np.float32)[:, 0]  # (C,)
+        b_proj = float(np.asarray(p["project_channels"]["bias"])[0])
+        M_dec = np.zeros((LANE, self.Pp), np.float32)
+        for c in range(C):
+            M_dec[c * T : c * T + T, : self.P] = w_time * w_chan[c]
+        self.m_dec = M_dec
+        bias_dec = np.zeros((1, self.Pp), np.float32)
+        bias_dec[0, : self.P] = b_time * float(w_chan.sum()) + b_proj
+        self.bias_dec = bias_dec
+        self.w_out = _pad2(p["fc_out"]["kernel"], Ep, LANE)
+        self.b_out = _row(p["fc_out"]["bias"], LANE)
+
+        self._block_weights = [
+            self.ln1_g, self.ln1_b, self.c1_mix, self.c1_bias,
+            self.ln2_g, self.ln2_b, self.c2_mix, self.c2_bias,
+            self.se_w1, self.se_w2,
+        ]
+        self._dec_weights = [
+            self.se_G, self.se_H, self.g_ln, self.b_ln,
+            self.m_dec, self.bias_dec, self.w_out, self.b_out,
+        ]
+
+        enc_variables = {"params": {"embed_mlp": p["encoder"]["embed_mlp"],
+                                    "channelUpscaling": p["encoder"]["channelUpscaling"]}}
+        from ..models.encoding import PoseEncoder
+
+        encoder = PoseEncoder(
+            dimPosIn=cfg.dimPosIn, dimPosEmb=cfg.dimPosEmb, conv_nChan=self.C,
+            n_harmonic_functions=cfg.encoder_n_harmonic_functions,
+            omega0=cfg.encoder_omega0,
+        )
+        self._encoder = encoder
+        self._enc_variables = enc_variables
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
+    def _run(self, x: jnp.ndarray, block_b: int, interpret: bool) -> jnp.ndarray:
+        b = x.shape[0]
+        bp = _ceil(b, block_b)
+        y = self._encoder.apply(self._enc_variables, x)  # (B, T, E, C)
+        # -> (B, E, C, T) -> (B, E, C*T): E on sublanes, (c, t) on lanes
+        y = jnp.transpose(y, (0, 2, 3, 1)).reshape(b, self.E, self.R)
+        yp = jnp.zeros((bp, self.Ep, LANE), jnp.float32)
+        yp = yp.at[:b, : self.E, : self.R].set(y)
+
+        kernel = functools.partial(
+            _conv_mixer_mc_kernel,
+            T=self.T, E=self.E, P=self.P, C=self.C, Ep=self.Ep, Pp=self.Pp,
+            num_blocks=self.num_blocks, use_se=self.use_se,
+            activation=self.activation, k1=self.k1, k2=self.k2,
+            mode_twice=self.mode_twice,
+        )
+
+        def _batch_map(nd):
+            return lambda i, j: (i,) + (0,) * (nd - 1)
+
+        def _block_map(nd):
+            return lambda i, j: (j,) + (0,) * (nd - 1)
+
+        def _const_map(nd):
+            return lambda i, j: (0,) * nd
+
+        in_specs = [
+            pl.BlockSpec((block_b, self.Ep, LANE), _batch_map(3),
+                         memory_space=pltpu.VMEM)
+        ] + [
+            pl.BlockSpec((1,) + w.shape[1:], _block_map(w.ndim),
+                         memory_space=pltpu.VMEM)
+            for w in self._block_weights
+        ] + [
+            pl.BlockSpec(w.shape, _const_map(w.ndim), memory_space=pltpu.VMEM)
+            for w in self._dec_weights
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid=(bp // block_b, self.num_blocks),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (block_b, self.Pp, LANE), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((bp, self.Pp, LANE), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((block_b, self.Ep, LANE), jnp.float32)],
+            interpret=interpret,
+        )(yp, *[jnp.asarray(w) for w in
+                self._block_weights + self._dec_weights])
+        return out[:b, : self.P, : self.D_out]
+
+    def __call__(self, x: jnp.ndarray, block_b: int = 8,
+                 interpret: bool = False) -> jnp.ndarray:
+        block_b = min(block_b, _ceil(x.shape[0], 8))
+        return self._run(x, block_b, interpret)
+
+
+def _conv_mixer_mc_kernel(
+    x_ref,
+    ln1_g, ln1_b, c1_mix, c1_bias,
+    ln2_g, ln2_b, c2_mix, c2_bias,
+    se_w1, se_w2,
+    se_G, se_H, g_ln, b_ln, m_dec, bias_dec, w_out, b_out,
+    out_ref,
+    y_scr,
+    *, T, E, P, C, Ep, Pp, num_blocks, use_se, activation, k1, k2, mode_twice,
+):
+    """One ConvMixer block step (grid dim 1) on one batch tile (grid dim 0).
+
+    Activation layout (bb, Ep, R-in-LANE): E sublanes, (c, t) lanes. The
+    residual stream lives in y_scr across block steps; the decoder runs in
+    the last step.
+    """
+    f32 = jnp.float32
+    j = pl.program_id(1)
+    bb = x_ref.shape[0]
+    e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, Ep, 1), 1)
+    e_mask = e_idx < E
+    r_mask = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANE), 2) < C * T
+    p_mask = jax.lax.broadcasted_iota(jnp.int32, (1, Pp, 1), 1) < P
+
+    @pl.when(j == 0)
+    def _load():
+        y_scr[:] = x_ref[:]
+
+    def layer_norm(y, g_plane, b_plane):
+        """LN over the E sublane axis; params are (Ep, LANE) planes."""
+        s = jnp.sum(jnp.where(e_mask, y, 0.0), axis=1, keepdims=True)
+        mu = s / E
+        d = jnp.where(e_mask, y - mu, 0.0)
+        var = jnp.sum(d * d, axis=1, keepdims=True) / E
+        inv = jax.lax.rsqrt(var + 1e-5)
+        return d * inv * g_plane[None] + b_plane[None]
+
+    def mm_lanes(y3, w2):
+        s, kdim = y3.shape[1], y3.shape[2]
+        r = jnp.dot(y3.reshape(bb * s, kdim), w2, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
+        return r.reshape(bb, s, r.shape[-1])
+
+    def conv_mc(y, mix_ref, bias_row, k):
+        """'same' multi-channel conv: kw lane matmuls + sublane E-rolls."""
+        kh, kw = k
+        pw = (kw - 1) // 2
+        acc = jnp.zeros_like(y)
+        for de in range(kw):
+            off_e = de - pw
+            z = y
+            if off_e:
+                z = pltpu.roll(z, (-off_e) % Ep, 1)
+                valid = (e_idx + off_e >= 0) & (e_idx + off_e < E)
+                z = jnp.where(valid, z, 0.0)
+            acc = acc + mm_lanes(z, mix_ref[0, de])
+        return acc + bias_row[0, :, :][None]
+
+    def se_gate(y):
+        s = jnp.sum(jnp.where(e_mask, y, 0.0), axis=1, keepdims=True)  # (bb,1,R)
+        s = mm_lanes(s, se_G[:])                      # (bb, 1, T-lanes)
+        e = jnp.maximum(mm_lanes(s, se_w1[0]), 0.0)
+        e = jax.nn.sigmoid(mm_lanes(e, se_w2[0]))
+        e = mm_lanes(e, se_H[:])                      # (bb, 1, R) gate
+        return y * e
+
+    def masked(z):
+        return jnp.where(e_mask & r_mask, z, 0.0)
+
+    y = y_scr[:]
+    z = layer_norm(y, ln1_g[0], ln1_b[0])
+    z = masked(_act(activation, conv_mc(z, c1_mix, c1_bias, k1)))
+    if use_se:
+        z = se_gate(z)
+    y = y + z
+
+    if mode_twice:
+        z = layer_norm(y, ln2_g[0], ln2_b[0])
+        z = masked(_act(activation, conv_mc(z, c2_mix, c2_bias, k2)))
+    else:
+        z = y  # LN2/conv2 are identity in 'once' mode
+    if use_se:
+        z = se_gate(z)  # shared SE applies in 'once' mode too (:287-292)
+    y = y + z
+    y_scr[:] = y
+
+    @pl.when(j == num_blocks - 1)
+    def _decode():
+        d = layer_norm(y, g_ln[:], b_ln[:])
+        d = jnp.where(e_mask, d, 0.0)
+        d = mm_lanes(d, m_dec[:]) + bias_dec[:][None]   # (bb, Ep, Pp)
+        d = _act("gelu", d)  # decoder hardcodes GELU (conv_mixer_model.py:462)
+        d = jnp.where(e_mask, d, 0.0)
+        d = jnp.swapaxes(d, 1, 2)                       # (bb, Pp, Ep)
+        out = mm_lanes(d, w_out[:]) + b_out[:][None]
+        out_ref[:] = jnp.where(p_mask, out, 0.0)
+
+
 def _conv_mixer_kernel(
     x_ref,
     ln1_g, ln1_b, c1_taps, c1_bias,

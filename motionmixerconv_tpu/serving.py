@@ -48,10 +48,12 @@ class Predictor:
                     self._fused = FusedMlpMixer(model, variables)
                 else:
                     from .models.mixer_conv import ConvMixer
-                    from .ops.pallas_conv_mixer import FusedConvMixer
+                    from .ops.pallas_conv_mixer import make_fused_conv_mixer
 
                     if isinstance(model, ConvMixer):
-                        self._fused = FusedConvMixer(model, variables)
+                        # picks the single-channel stencil kernel or the
+                        # multi-channel lane-matmul kernel by conv_nChan
+                        self._fused = make_fused_conv_mixer(model, variables)
             except NotImplementedError:
                 self._fused = None
 

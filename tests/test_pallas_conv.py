@@ -1,4 +1,4 @@
-"""Parity tests for the fused ConvMixer kernel (interpret mode on CPU)."""
+"""Parity tests for the fused ConvMixer kernels (interpret mode on CPU)."""
 
 import jax
 import jax.numpy as jnp
@@ -6,24 +6,29 @@ import numpy as np
 import pytest
 
 from motionmixerconv_tpu.models import ConvMixer
-from motionmixerconv_tpu.ops.pallas_conv_mixer import FusedConvMixer
+from motionmixerconv_tpu.ops.pallas_conv_mixer import (
+    FusedConvMixer,
+    FusedConvMixerMC,
+    make_fused_conv_mixer,
+)
 
 
 def _case(mode_conv="twice", k1=(1, 3), activation="mish", use_se=True,
-          nharm=8, num_blocks=2, emb=50, in_ntp=10, out_ntp=25, dim=66):
+          nharm=8, num_blocks=2, emb=50, in_ntp=10, out_ntp=25, dim=66,
+          conv_nChan=1, r_se=2, batch=19):
     model = ConvMixer(
         num_blocks=num_blocks, dimPosIn=dim, dimPosEmb=emb, dimPosOut=dim,
-        in_nTP=in_ntp, out_nTP=out_ntp, conv_nChan=1,
+        in_nTP=in_ntp, out_nTP=out_ntp, conv_nChan=conv_nChan,
         conv1_kernel_shape=k1, conv1_stride=(1, 1), conv1_padding=None,
         mode_conv=mode_conv, activation=activation, regularization=0.1,
-        use_se=use_se, r_se=2, use_max_pooling=False,
+        use_se=use_se, r_se=r_se, use_max_pooling=False,
         encoder_n_harmonic_functions=nharm, encoder_omega0=0.1,
     )
     rs = np.random.RandomState(0)
-    x = jnp.asarray(rs.randn(19, in_ntp, dim).astype(np.float32) * 0.5)
+    x = jnp.asarray(rs.randn(batch, in_ntp, dim).astype(np.float32) * 0.5)
     variables = model.init(jax.random.PRNGKey(4), x, training=False)
     want = model.apply(variables, x, training=False)
-    return FusedConvMixer(model, variables), x, want
+    return make_fused_conv_mixer(model, variables), x, want
 
 
 @pytest.mark.parametrize("k1", [(1, 3), (5, 5), (2, 4)])
@@ -45,7 +50,7 @@ def test_fused_conv_mixer_no_se_no_harmonics():
     np.testing.assert_allclose(got, want, atol=3e-4)
 
 
-def test_multichannel_rejected():
+def test_multichannel_rejected_by_single_channel_kernel():
     model = ConvMixer(
         num_blocks=1, dimPosIn=66, dimPosEmb=32, dimPosOut=66, in_nTP=10,
         out_nTP=5, conv_nChan=2, encoder_n_harmonic_functions=-1,
@@ -53,3 +58,34 @@ def test_multichannel_rejected():
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 66)))
     with pytest.raises(NotImplementedError):
         FusedConvMixer(model, variables)
+    # ... but the factory routes it to the multi-channel kernel
+    assert isinstance(make_fused_conv_mixer(model, variables), FusedConvMixerMC)
+
+
+def test_fused_mc_study_shape():
+    """The ConvMixer study's fixed shape (sweep/conv_study.py:61-65):
+    conv_nChan=8, dimPosEmb=192 (two lane tiles), k=(5, 9), 6 blocks —
+    previously silently fell back to XLA in serving."""
+    fused, x, want = _case(
+        conv_nChan=8, emb=192, k1=(5, 9), num_blocks=6, activation="gelu",
+        r_se=2, batch=9,
+    )
+    assert isinstance(fused, FusedConvMixerMC)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+@pytest.mark.parametrize("k1", [(1, 3), (9, 29), (2, 4)])
+def test_fused_mc_kernels(k1):
+    """Multi-channel kernel across kernel shapes, incl. the study's largest
+    (9, 29) and an even-kernel 'same' padding case."""
+    fused, x, want = _case(conv_nChan=4, emb=40, k1=k1, batch=11)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_fused_mc_once_mode_no_se():
+    fused, x, want = _case(conv_nChan=3, mode_conv="once", activation="gelu",
+                           use_se=False, nharm=-1, emb=33, batch=5)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=5e-4)
