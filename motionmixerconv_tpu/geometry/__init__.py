@@ -14,6 +14,7 @@ from .forward_kinematics import (
     fkl,
     expmap2xyz,
 )
+from .graph import get_adj_AMASS, normalize_A, spatio_temporal_graph
 from .smpl import ang2joint, load_smpl_skeleton
 from .dct import get_dct_matrix, dct_transform, idct_transform
 
@@ -31,6 +32,9 @@ __all__ = [
     "fkl",
     "expmap2xyz",
     "ang2joint",
+    "get_adj_AMASS",
+    "normalize_A",
+    "spatio_temporal_graph",
     "load_smpl_skeleton",
     "get_dct_matrix",
     "dct_transform",

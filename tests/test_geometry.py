@@ -104,6 +104,37 @@ class TestRotations:
         np.testing.assert_allclose(R.reshape(-1, 3, 3), g["R"], atol=1e-5)
 
 
+class TestAmassGraph:
+    def test_get_adj_amass_golden(self):
+        """Golden vs the executed reference helpers (dataloader_amass.py:
+        154-213, run with era shims — see gen_golden.golden_graph)."""
+        from motionmixerconv_tpu.geometry import (
+            get_adj_AMASS,
+            normalize_A,
+            spatio_temporal_graph,
+        )
+
+        g = _load("amass_graph.npz")
+        A22 = np.zeros((22, 22))
+        from motionmixerconv_tpu.geometry.graph import AMASS_EDGES_22
+
+        for i, j in AMASS_EDGES_22:
+            A22[i, j] = A22[j, i] = 1.0
+        np.testing.assert_allclose(normalize_A(A22), g["normalized_A"], atol=1e-12)
+        np.testing.assert_allclose(
+            spatio_temporal_graph(22, 4, g["normalized_A"]), g["adj_t4"], atol=1e-6
+        )
+        np.testing.assert_allclose(get_adj_AMASS(22, 4), g["adj_t4"], atol=1e-6)
+
+    def test_isolated_joints_have_self_edges_only(self):
+        from motionmixerconv_tpu.geometry import get_adj_AMASS
+
+        adj = get_adj_AMASS(22, 2)
+        for j in (3, 6, 9, 13, 14):  # commented-out joints in the edge list
+            row = adj[0, j]
+            assert row[j] == 1.0 and np.count_nonzero(row) == 1
+
+
 class TestForwardKinematics:
     def test_fkl_matches_reference(self):
         g = _load("fkl.npz")

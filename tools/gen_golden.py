@@ -389,6 +389,38 @@ def golden_autoregressive():
     print("autoregressive.npz written")
 
 
+def golden_graph():
+    """Execute the reference AMASS graph helpers (dataloader_amass.py:154-213).
+
+    As shipped they crash on this stack three ways (modern networkx rejects
+    the nodelist with isolated joints; nx now returns ndarray whose missing
+    .A1 breaks normalize_A; np.infty was removed in numpy 2), so the
+    historical behavior is restored with era shims — np.matrix input,
+    np.infty alias, full-node graph — and the outputs pinned.
+    """
+    import networkx as nx
+
+    np.infty = getattr(np, "infty", np.inf)
+    src = open(os.path.join(REFERENCE, "amass", "dataloader_amass.py")).read()
+    g = {"np": np, "nx": nx, "torch": torch}
+    exec(compile(src[src.index("def normalize_A"):], "ref_graph", "exec"), g)
+
+    edges = [(0, 1), (0, 2), (1, 4), (5, 2), (7, 4), (8, 5), (7, 10), (8, 11),
+             (12, 15), (12, 16), (12, 17), (16, 18), (19, 17), (20, 18),
+             (21, 19), (1, 16), (2, 17)]  # dataloader_amass.py:192-205
+    G = nx.Graph()
+    G.add_nodes_from(range(22))
+    G.add_edges_from(edges)
+    A = np.matrix(nx.adjacency_matrix(G, nodelist=list(range(22))).todense())
+    An = g["normalize_A"](A)
+    arrays = {
+        "normalized_A": np.asarray(An, np.float64),
+        "adj_t4": np.asarray(g["spatio_temporal_graph"](22, 4, An), np.float32),
+    }
+    np.savez(os.path.join(OUT_DIR, "amass_graph.npz"), **arrays)
+    print("amass_graph.npz written")
+
+
 def _smooth_motion(rs, n_steps, b, t, d, amplitude, noise):
     """(n_steps, b, t, d) batches of smooth sinusoidal 'motion'."""
     tt = np.arange(t)[None, None, :, None]
@@ -597,3 +629,4 @@ if __name__ == "__main__":
     golden_autoregressive()
     golden_mixer_variants()
     golden_train_parity()
+    golden_graph()
