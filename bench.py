@@ -323,7 +323,6 @@ def measure_jax() -> tuple[dict, str]:
     from motionmixerconv_tpu.data.windows import WindowedCorpus
 
     tr = conv_trainer()
-    state = tr.init_state(jax.random.PRNGKey(0))
     corpus = WindowedCorpus(
         frames=frames,
         window_starts=rs.randint(0, n_windows, EPOCH_TRAIN_W).astype(np.int64),
@@ -332,7 +331,8 @@ def measure_jax() -> tuple[dict, str]:
     test_starts = rs.randint(0, n_windows, EPOCH_TEST_W).astype(np.int64)
     test_gids = np.repeat(np.arange(15), 256)
 
-    def epoch():
+    def epoch(state):
+        # the scan-epoch step donates `state`, so each call gets its own
         st, _ = tr.train_epoch(state, corpus, frames, 50, seed=0, scan=True)
         vcorpus = WindowedCorpus(frames=frames, window_starts=val_starts,
                                  seq_len=seq_len)
@@ -341,9 +341,10 @@ def measure_jax() -> tuple[dict, str]:
                             "h36m_xyz")
         return st
 
-    epoch()  # compile all three phases
+    epoch(tr.init_state(jax.random.PRNGKey(0)))  # compile all three phases
+    state = tr.init_state(jax.random.PRNGKey(1))
     t0 = time.perf_counter()
-    epoch()
+    epoch(state)
     out["h36m_full_epoch_s"] = {"wall_s": time.perf_counter() - t0}
 
     # fused multi-channel serving kernel, batch 8 (study shape)

@@ -120,6 +120,21 @@ def _steps_per_epoch(n: int, batch_size: int) -> int:
     return max(1, (n + batch_size - 1) // batch_size)
 
 
+def _apply_init_variables(trainer, state, init_variables):
+    """Replace a fresh state's params (and batch_stats) with externally
+    provided variables — e.g. a converted torch init for matched-init
+    convergence runs (tools/parity_runs.py) — re-initializing the optimizer
+    state for the new params."""
+    if init_variables is None:
+        return state
+    params = init_variables["params"]
+    return state.replace(
+        params=params,
+        batch_stats=init_variables.get("batch_stats", state.batch_stats),
+        opt_state=trainer.optimizer.init(params),
+    )
+
+
 
 def _combine_test_sets(test_sets):
     """Concatenate per-action corpora into one (frames, starts, group_ids)."""
@@ -262,7 +277,8 @@ def _train_and_evaluate(
 def _h36m_metric_names(loss_type):
     return ("mpjpe", "auc_pck") if loss_type == "mpjpe" else ("euler_angle", "joint_angle")
 
-def run_h36m(args, model=None, model_name: Optional[str] = None):
+def run_h36m(args, model=None, model_name: Optional[str] = None,
+             init_variables=None):
     """H36M direct training (train_mixer_h36m.py:47-279 + per-epoch tests)."""
     mode = "xyz" if args.loss_type == "mpjpe" else "angle"
     dim_used = H36M_DIM_USED_XYZ if mode == "xyz" else H36M_DIM_USED_ANGLE
@@ -301,6 +317,7 @@ def run_h36m(args, model=None, model_name: Optional[str] = None):
         delta_x=getattr(args, "delta_x", False),
     )
     state = trainer.init_state(jax.random.PRNGKey(getattr(args, "seed", 0)))
+    state = _apply_init_variables(trainer, state, init_variables)
     print(f"total number of parameters of the network is: {param_count(state)}")
 
     start_epoch = 0
@@ -517,7 +534,8 @@ def run_ais_autoregressive(args, model=None, model_name: Optional[str] = None):
     return history, state, trainer
 
 
-def run_amass(args, model=None, model_name: Optional[str] = None):
+def run_amass(args, model=None, model_name: Optional[str] = None,
+              init_variables=None):
     """AMASS training (amass/train_mixer_amass.py:34-148,153-199).
 
     The reference's test_mpjpe divides by a never-incremented ``n_batches``
@@ -551,6 +569,7 @@ def run_amass(args, model=None, model_name: Optional[str] = None):
         input_scale=1.0, loss_scale=1000.0,
     )
     state = trainer.init_state(jax.random.PRNGKey(getattr(args, "seed", 0)))
+    state = _apply_init_variables(trainer, state, init_variables)
     print(f"total number of parameters of the network is: {param_count(state)}")
 
     frames = jnp.asarray(dataset.frames)

@@ -1,0 +1,81 @@
+"""Convergence-to-quality regression vs the committed reference runs.
+
+tests/golden/parity_runs.json + parity_init.npz were produced by
+tools/parity_runs.py: the torch reference trained with its own code on a
+synthetic corpus, with its init state_dict exported. This test re-runs the
+JAX matched-init side (same corpus seed, same init, same schedule — own
+shuffling and dropout) through the REAL CLI runners and asserts the final
+metrics stay within a few percent of the recorded torch results.
+
+Recorded agreement at generation time (PARITY_RUNS.md): h36m train/val/test
+within 0.5-7.4% (jax slightly better), amass within 0.0-0.3%.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="module")
+def recorded():
+    with open(os.path.join(GOLDEN, "parity_runs.json")) as f:
+        return json.load(f)
+
+
+@pytest.mark.slow
+def test_h36m_matched_init_convergence(recorded, tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(GOLDEN), "..", "tools"))
+    import parity_runs as pr
+
+    pr.OUT_INIT = os.path.join(GOLDEN, "parity_init.npz")
+    work = str(tmp_path_factory.mktemp("parity_h36m"))
+    from motionmixerconv_tpu.data import fixtures
+
+    c = recorded["h36m_cfg"]
+    data_dir = os.path.join(work, "h36m")
+    fixtures.make_h36m_corpus(data_dir, n_frames=c["n_frames"],
+                              seed=c["data_seed"])
+    ours = pr.jax_h36m(data_dir, work, init_variables=pr._load_init("h36m"))
+    torch_side = recorded["results"]["torch_h36m"]
+
+    for key, tol in (("train", 0.15), ("val", 0.12), ("test_mpjpe", 0.15)):
+        rel = abs(ours[key] - torch_side[key]) / abs(torch_side[key])
+        assert rel < tol, (key, ours[key], torch_side[key])
+    assert abs(ours["test_auc_pck"] - torch_side["test_auc_pck"]) < 0.05
+    # the whole trajectory tracks, not just the endpoint (both sides have
+    # escaped the plateau by epoch 6 thanks to the shared init)
+    t = np.asarray(torch_side["train_per_epoch"])
+    j = np.asarray(ours["train_per_epoch"])
+    np.testing.assert_allclose(j, t, rtol=0.2)
+
+
+@pytest.mark.slow
+def test_amass_matched_init_convergence(recorded, tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(GOLDEN), "..", "tools"))
+    import parity_runs as pr
+
+    pr.OUT_INIT = os.path.join(GOLDEN, "parity_init.npz")
+    work = str(tmp_path_factory.mktemp("parity_amass"))
+    from motionmixerconv_tpu.data import fixtures
+
+    c = recorded["amass_cfg"]
+    data_dir = os.path.join(work, "amass2k")
+    fixtures.make_amass_corpus(data_dir, n_frames=c["n_frames"],
+                               seed=c["data_seed"])
+    ours = pr.jax_amass(data_dir, work, init_variables=pr._load_init("amass"))
+    torch_side = recorded["results"]["torch_amass"]
+
+    for key, tol in (("train", 0.05), ("val", 0.05), ("test_mpjpe", 0.05)):
+        rel = abs(ours[key] - torch_side[key]) / abs(torch_side[key])
+        assert rel < tol, (key, ours[key], torch_side[key])
+    t = np.asarray(torch_side["train_per_epoch"])
+    j = np.asarray(ours["train_per_epoch"])
+    np.testing.assert_allclose(j, t, rtol=0.1)

@@ -1,16 +1,27 @@
 """Convergence-to-quality parity: train the reference (torch CPU) and this
-framework side-by-side on identical synthetic corpora and record the final
-train/val/test metrics of both.
+framework side-by-side on identical synthetic corpora and show they reach the
+same quality.
 
-Covers VERDICT r1 item 3: golden tests pin per-step algebra
-(tests/test_train_parity.py); this script demonstrates that full multi-epoch
-training reaches the same quality. Independent inits, real dropout, real
-shuffling — agreement is expected at the few-percent level, not bit-exact.
+Methodology (VERDICT r1 item 3). Two kinds of evidence:
+
+1. MATCHED-INIT runs — the torch model's init state_dict is exported and
+   imported into the JAX side, then both train independently (own shuffling,
+   own dropout masks) for the full schedule. Per-epoch losses and final
+   metrics must track closely: this isolates framework dynamics from
+   init luck.
+2. SEED STUDY — short runs over several independent inits on BOTH sides,
+   showing the same fast/slow plateau-escape spread. On this synthetic
+   corpus the escape epoch varies strongly with the init draw in BOTH
+   frameworks (measured: torch seeds 3/4/7 are as slow as jax seeds 0/3/4),
+   which is why single-seed final-loss comparisons are not meaningful and
+   the matched-init runs are the assertion target.
 
 Outputs:
-- PARITY_RUNS.md                (human-readable table, committed)
-- tests/golden/parity_runs.json (torch-side numbers; tests/test_parity_runs.py
-                                 re-runs the JAX side against them)
+- PARITY_RUNS.md                      (committed, human-readable)
+- tests/golden/parity_runs.json       (torch-side numbers)
+- tests/golden/parity_init.npz        (torch init state_dicts)
+tests/test_parity_runs.py re-runs the JAX matched-init side against the
+committed torch numbers.
 
 Usage: python tools/parity_runs.py  (requires /root/reference + torch)
 """
@@ -30,25 +41,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 OUT_MD = os.path.join(REPO, "PARITY_RUNS.md")
 OUT_JSON = os.path.join(REPO, "tests", "golden", "parity_runs.json")
+OUT_INIT = os.path.join(REPO, "tests", "golden", "parity_init.npz")
 
 # ---- shared run configs (mirrored exactly by tests/test_parity_runs.py) ----
 
 H36M_CFG = dict(
-    n_frames=400, data_seed=11, n_epochs=12, batch_size=50, batch_size_test=256,
-    lr=1e-3, milestones=[8], gamma=0.1, input_n=10, output_n=25, skip_rate=5,
-    actions="walking",
+    n_frames=400, data_seed=11, n_epochs=20, batch_size=50, batch_size_test=256,
+    lr=1e-3, milestones=[15], gamma=0.1, input_n=10, output_n=25, skip_rate=5,
+    actions="walking", torch_seed=100,
     # flagship ConvMixer at the reference mpjpe CLI defaults
     # (train_mixer_h36m.py:575-595)
     num_blocks=4, dimPosEmb=50, k1=(1, 3), activation="mish",
     regularization=0.1, r_se=8, nharm=64, omega0=0.1,
 )
 AMASS_CFG = dict(
-    n_frames=300, data_seed=13, n_epochs=12, batch_size=200, batch_size_test=256,
-    lr=1e-3, milestones=[8], gamma=0.1, input_n=10, output_n=25, skip_rate=5,
+    n_frames=2000, data_seed=13, n_epochs=30, batch_size=50, batch_size_test=256,
+    lr=1e-3, milestones=[22], gamma=0.1, input_n=10, output_n=25, skip_rate=5,
+    torch_seed=101,
     # MlpMixer at the reference AMASS CLI defaults (train_mixer_amass.py:235-246)
     num_blocks=5, hidden_dim=128, tokens_mlp_dim=20, channels_mlp_dim=128,
     activation="gelu", regularization=0.1, r_se=8,
 )
+SEED_STUDY_EPOCHS = 6
+TORCH_SEEDS = (0, 1, 2, 3)
+JAX_SEEDS = (0, 1, 2, 3)
 
 
 def make_corpora(base):
@@ -56,7 +72,7 @@ def make_corpora(base):
     from motionmixerconv_tpu.data import fixtures
 
     h36m_dir = os.path.join(base, "h36m")
-    amass_dir = os.path.join(base, "amass")
+    amass_dir = os.path.join(base, "amass2k")
     if not os.path.isdir(h36m_dir):
         fixtures.make_h36m_corpus(h36m_dir, n_frames=H36M_CFG["n_frames"],
                                   seed=H36M_CFG["data_seed"])
@@ -76,6 +92,22 @@ def _ref_paths():
     sys.path.insert(0, os.path.join(REFERENCE, "amass"))
 
 
+def _torch_conv_model(torch, c, seed, regularization=None):
+    from h36m.conv_mixer_model import ConvMixer as RefConvMixer
+
+    torch.manual_seed(seed)
+    return RefConvMixer(
+        num_blocks=c["num_blocks"], dimPosIn=66, dimPosEmb=c["dimPosEmb"],
+        dimPosOut=66, in_nTP=c["input_n"], out_nTP=c["output_n"], conv_nChan=1,
+        conv1_kernel_shape=c["k1"], conv1_stride=(1, 1), conv1_padding=(0, 1),
+        mode_conv="twice", activation=c["activation"],
+        regularization=(c["regularization"] if regularization is None
+                        else regularization),
+        use_se=True, r_se=c["r_se"], use_max_pooling=False,
+        encoder_n_harmonic_functions=c["nharm"], encoder_omega0=c["omega0"],
+    )
+
+
 def torch_h36m(data_dir, work):
     """Run the reference's OWN train() (train_mixer_h36m.py:47-279)."""
     import torch
@@ -83,19 +115,11 @@ def torch_h36m(data_dir, work):
     torch.Tensor.cuda = lambda self, *a, **k: self
     _ref_paths()
     from h36m import train_mixer_h36m as ref_tm
-    from h36m.conv_mixer_model import ConvMixer as RefConvMixer
 
     c = H36M_CFG
-    torch.manual_seed(100)
-    model = RefConvMixer(
-        num_blocks=c["num_blocks"], dimPosIn=66, dimPosEmb=c["dimPosEmb"],
-        dimPosOut=66, in_nTP=c["input_n"], out_nTP=c["output_n"], conv_nChan=1,
-        conv1_kernel_shape=c["k1"], conv1_stride=(1, 1), conv1_padding=(0, 1),
-        mode_conv="twice", activation=c["activation"],
-        regularization=c["regularization"], use_se=True, r_se=c["r_se"],
-        use_max_pooling=False, encoder_n_harmonic_functions=c["nharm"],
-        encoder_omega0=c["omega0"],
-    )
+    model = _torch_conv_model(torch, c, c["torch_seed"])
+    init_sd = {f"h36m::{k}": v.detach().clone().numpy()
+               for k, v in model.state_dict().items()}
     args = argparse.Namespace(
         data_dir=data_dir, save_path=os.path.join(work, "torch_h36m"),
         input_n=c["input_n"], output_n=c["output_n"], skip_rate=c["skip_rate"],
@@ -109,27 +133,17 @@ def torch_h36m(data_dir, work):
     t0 = time.time()
     train_loss, val_loss, test_loss, metrics = ref_tm.train(model, "parity", args)
     return {
+        "train_per_epoch": [float(x) for x in train_loss],
+        "val_per_epoch": [float(x) for x in val_loss],
+        "test_per_epoch": [float(x) for x in test_loss],
         "train": float(train_loss[-1]), "val": float(val_loss[-1]),
         "test_mpjpe": float(test_loss[-1]),
         "test_auc_pck": float(metrics["auc_pck"][-1]),
         "wall_s": time.time() - t0,
-    }
+    }, init_sd
 
 
-def torch_amass(data_dir, work):
-    """Train the reference AMASS MlpMixer with the reference's exact
-    per-step semantics (train_mixer_amass.py:73-147; its train() returns
-    nothing, so the epoch loop is driven here) and evaluate with the
-    reference's own test_mpjpe (:152-199)."""
-    import torch
-    import torch.optim as optim
-    from torch.utils.data import DataLoader
-
-    torch.Tensor.cuda = lambda self, *a, **k: self
-    _ref_paths()
-
-    # redirect the reference's hardcoded corpus/skeleton paths (same scheme
-    # as tools/gen_golden.py:golden_amass_dataset)
+def _amass_redirect(data_dir):
     REF_CORPUS = "/media/bouazia/bouazia_3/AMASS_dataset/"
     REF_SKEL = ("/lhome/bouazia/pose_prediction/utils/body_models/"
                 "smpl_skeleton.npz")
@@ -140,22 +154,39 @@ def torch_amass(data_dir, work):
         p = str(p).replace(REF_CORPUS, data_dir + "/")
         return p.replace(REF_SKEL, MY_SKEL)
 
-    real_isdir, real_listdir, real_npload = os.path.isdir, os.listdir, np.load
-    os.path.isdir = lambda p: real_isdir(redirect(p))
-    os.listdir = lambda p: sorted(real_listdir(redirect(p)))
-    np.load = lambda p, *a, **k: real_npload(redirect(p), *a, **k)
+    real = (os.path.isdir, os.listdir, np.load)
+    os.path.isdir = lambda p: real[0](redirect(p))
+    os.listdir = lambda p: sorted(real[1](redirect(p)))
+    np.load = lambda p, *a, **k: real[2](redirect(p), *a, **k)
+    return real
+
+
+def torch_amass(data_dir, work):
+    """Train the reference AMASS MlpMixer with the reference's exact
+    per-step semantics (train_mixer_amass.py:73-147; its train() returns
+    nothing, so the epoch loop is driven here). The reference's own
+    test_mpjpe divides by a never-incremented n_batches and returns inf
+    (train_mixer_amass.py:158,199), so the test metric here applies the
+    documented fix — divide by the sample count — to BOTH sides.
+
+    Note: the reference's amass/mlp_mixer.py crashes as shipped (Conv1d
+    stem with a 2-D kernel, :197); the otherwise-identical h36m twin
+    (nn.Conv2d, h36m/mlp_mixer.py:268) is the working reference module
+    (DESIGN.md §5)."""
+    import torch
+    import torch.optim as optim
+    from torch.utils.data import DataLoader
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    _ref_paths()
+    real = _amass_redirect(data_dir)
     try:
         import dataloader_amass as ref_am
-        from amass import train_mixer_amass as ref_ta
         from h36m.utils.utils_mixer import mpjpe_error
-        # amass/mlp_mixer.py:197 declares the stem as nn.Conv1d with a 2-D
-        # kernel (the h36m twin uses nn.Conv2d, h36m/mlp_mixer.py:268) and
-        # crashes on torch >= 2; the files are otherwise identical, so the
-        # working h36m module is the reference here (DESIGN.md §5).
         from h36m.mlp_mixer import MlpMixer as RefMlpMixer
 
         c = AMASS_CFG
-        torch.manual_seed(101)
+        torch.manual_seed(c["torch_seed"])
         model = RefMlpMixer(
             num_classes=54, num_blocks=c["num_blocks"],
             hidden_dim=c["hidden_dim"], tokens_mlp_dim=c["tokens_mlp_dim"],
@@ -164,14 +195,20 @@ def torch_amass(data_dir, work):
             regularization=c["regularization"], input_size=54,
             r_se=c["r_se"], use_max_pooling=False, use_se=True,
         )
+        init_sd = {f"amass::{k}": v.detach().clone().numpy()
+                   for k, v in model.state_dict().items()}
         dataset = ref_am.Datasets(None, c["input_n"], c["output_n"],
                                   c["skip_rate"], split=0)
         vald = ref_am.Datasets(None, c["input_n"], c["output_n"],
                                c["skip_rate"], split=1)
+        test = ref_am.Datasets(None, c["input_n"], c["output_n"],
+                               c["skip_rate"], split=2)
         loader = DataLoader(dataset, batch_size=c["batch_size"], shuffle=True,
                             num_workers=0)
         vloader = DataLoader(vald, batch_size=c["batch_size"], shuffle=False,
                              num_workers=0)
+        tloader = DataLoader(test, batch_size=c["batch_size_test"],
+                             shuffle=False, num_workers=0)
         opt = optim.Adam(model.parameters(), lr=c["lr"], weight_decay=1e-05)
         sched = optim.lr_scheduler.MultiStepLR(
             opt, milestones=c["milestones"], gamma=c["gamma"])
@@ -179,13 +216,13 @@ def torch_amass(data_dir, work):
         inn, outn = c["input_n"], c["output_n"]
 
         def split_batch(batch):
-            b = batch[:, :, joint_used]
+            b = batch[:, :, joint_used].float()
             x = b[:, :inn].reshape(-1, inn, 54)
             gt = b[:, inn : inn + outn].reshape(-1, outn, 54)
             return x, gt
 
         t0 = time.time()
-        tr = va = 0.0
+        trs, vas = [], []
         for epoch in range(c["n_epochs"]):
             model.train()
             tr, n = 0.0, 0
@@ -195,9 +232,9 @@ def torch_amass(data_dir, work):
                 loss = mpjpe_error(model(x), gt) * 1000
                 loss.backward()
                 opt.step()
-                tr += float(loss) * x.shape[0]
+                tr += loss.item() * x.shape[0]
                 n += x.shape[0]
-            tr /= n
+            trs.append(tr / n)
             model.eval()
             va, n = 0.0, 0
             with torch.no_grad():
@@ -205,26 +242,99 @@ def torch_amass(data_dir, work):
                     x, gt = split_batch(batch)
                     va += float(mpjpe_error(model(x), gt) * 1000) * x.shape[0]
                     n += x.shape[0]
-            va /= n
+            vas.append(va / n)
             sched.step()
-            print(f"[torch amass] epoch {epoch}: train {tr:.2f} val {va:.2f}")
+            print(f"[torch amass] epoch {epoch}: train {trs[-1]:.2f} "
+                  f"val {vas[-1]:.2f}")
 
-        targs = argparse.Namespace(
-            data_dir=None, input_n=inn, output_n=outn,
-            skip_rate=c["skip_rate"], batch_size_test=c["batch_size_test"],
-            dev="cpu",
-        )
-        test = float(ref_ta.test_mpjpe(model, targs))
-        return {"train": tr, "val": va, "test_mpjpe": test,
-                "wall_s": time.time() - t0}
+        # 18->22-joint scatter test (train_mixer_amass.py:161-199) with the
+        # divide-by-n fix
+        model.eval()
+        acc, n = 0.0, 0
+        with torch.no_grad():
+            for batch in tloader:
+                batch = batch.float()
+                x = batch[:, :inn, joint_used].reshape(-1, inn, 54)
+                gt22 = batch[:, inn : inn + outn, :22]
+                pred = model(x).view(-1, outn, 18, 3)
+                all_seq = gt22.clone()
+                all_seq[:, :, joint_used] = pred
+                acc += float(mpjpe_error(all_seq, gt22) * 1000) * batch.shape[0]
+                n += batch.shape[0]
+        test_mpjpe = acc / n
+        return {
+            "train_per_epoch": trs, "val_per_epoch": vas,
+            "train": trs[-1], "val": vas[-1], "test_mpjpe": test_mpjpe,
+            "wall_s": time.time() - t0,
+        }, init_sd
     finally:
-        os.path.isdir, os.listdir, np.load = real_isdir, real_listdir, real_npload
+        os.path.isdir, os.listdir, np.load = real
+
+
+def torch_h36m_seed_study(data_dir):
+    """Short independent-init torch runs (dropout off for comparability)."""
+    import torch
+    import torch.optim as optim
+    from torch.utils.data import DataLoader
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    _ref_paths()
+    from h36m.datasets.dataset_h36m import H36M_Dataset
+    from h36m.utils.utils_mixer import mpjpe_error
+
+    c = H36M_CFG
+    dim_used = _h36m_dim_used()
+    ds = H36M_Dataset(data_dir, c["input_n"], c["output_n"], c["skip_rate"],
+                      split=0)
+    out = {}
+    for seed in TORCH_SEEDS:
+        model = _torch_conv_model(torch, c, seed, regularization=0.0)
+        opt = optim.Adam(model.parameters(), lr=c["lr"], weight_decay=1e-5)
+        loader = DataLoader(ds, batch_size=c["batch_size"], shuffle=True,
+                            num_workers=0)
+        model.train()
+        losses = []
+        for _ in range(SEED_STUDY_EPOCHS):
+            tot, n = 0.0, 0
+            for batch in loader:
+                x = batch[:, : c["input_n"]][:, :, dim_used].float()
+                gt = batch[:, c["input_n"] : 35][:, :, dim_used].float()
+                opt.zero_grad()
+                loss = mpjpe_error(model(x / 1000.0), gt)
+                loss.backward()
+                opt.step()
+                tot += loss.item() * x.shape[0]
+                n += x.shape[0]
+            losses.append(round(tot / n, 1))
+        out[str(seed)] = losses
+        print(f"[torch seed {seed}] {losses}")
+    return out
+
+
+def _h36m_dim_used():
+    return np.array(
+        [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 21, 22, 23, 24, 25,
+         26, 27, 28, 29, 30, 31, 32, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45,
+         46, 47, 51, 52, 53, 54, 55, 56, 57, 58, 59, 63, 64, 65, 66, 67, 68,
+         75, 76, 77, 78, 79, 80, 81, 82, 83, 87, 88, 89, 90, 91, 92])
 
 
 # ------------------------------------------------------------------ JAX side
 
 
-def jax_h36m(data_dir, work, platform=None):
+def _load_init(kind):
+    """Converted torch init variables from tests/golden/parity_init.npz."""
+    from motionmixerconv_tpu.models import convert_conv_mixer, convert_mlp_mixer
+
+    data = np.load(OUT_INIT)
+    sd = {k[len(kind) + 2:]: data[k] for k in data.files
+          if k.startswith(kind + "::")}
+    if kind == "h36m":
+        return convert_conv_mixer(sd, num_blocks=H36M_CFG["num_blocks"])
+    return convert_mlp_mixer(sd, num_blocks=AMASS_CFG["num_blocks"])
+
+
+def jax_h36m(data_dir, work, platform=None, init_variables=None):
     sys.path.insert(0, REPO)
     if platform:
         import jax
@@ -248,8 +358,11 @@ def jax_h36m(data_dir, work, platform=None):
         "--actions_to_consider", c["actions"],
     ]
     t0 = time.time()
-    history, _, _ = run_h36m(parse_args(argv))
+    history, _, _ = run_h36m(parse_args(argv), init_variables=init_variables)
     return {
+        "train_per_epoch": [float(x) for x in history["train"]],
+        "val_per_epoch": [float(x) for x in history["val"]],
+        "test_per_epoch": [float(x) for x in history["metrics"]["mpjpe"]],
         "train": float(history["train"][-1]), "val": float(history["val"][-1]),
         "test_mpjpe": float(history["metrics"]["mpjpe"][-1]),
         "test_auc_pck": float(history["metrics"]["auc_pck"][-1]),
@@ -257,7 +370,7 @@ def jax_h36m(data_dir, work, platform=None):
     }
 
 
-def jax_amass(data_dir, work, platform=None):
+def jax_amass(data_dir, work, platform=None, init_variables=None):
     sys.path.insert(0, REPO)
     if platform:
         import jax
@@ -283,12 +396,59 @@ def jax_amass(data_dir, work, platform=None):
         "--model_path", os.path.join(work, "jax_amass_ckpt"),
     ]
     t0 = time.time()
-    history, _, _ = run_amass(parse_args(argv))
+    history, _, _ = run_amass(parse_args(argv), init_variables=init_variables)
     return {
+        "train_per_epoch": [float(x) for x in history["train"]],
+        "val_per_epoch": [float(x) for x in history["val"]],
         "train": float(history["train"][-1]), "val": float(history["val"][-1]),
         "test_mpjpe": float(history["test"][-1]),
         "wall_s": time.time() - t0,
     }
+
+
+def jax_h36m_seed_study(data_dir, platform=None):
+    sys.path.insert(0, REPO)
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from motionmixerconv_tpu.data import H36MDataset
+    from motionmixerconv_tpu.data.constants import H36M_DIM_USED_XYZ
+    from motionmixerconv_tpu.models import ConvMixer
+    from motionmixerconv_tpu.train import Trainer, make_optimizer
+
+    c = H36M_CFG
+    model = ConvMixer(
+        num_blocks=c["num_blocks"], dimPosIn=66, dimPosEmb=c["dimPosEmb"],
+        dimPosOut=66, in_nTP=c["input_n"], out_nTP=c["output_n"], conv_nChan=1,
+        conv1_kernel_shape=c["k1"], conv1_stride=(1, 1), conv1_padding=(0, 1),
+        mode_conv="twice", activation=c["activation"], regularization=0.0,
+        use_se=True, r_se=c["r_se"], use_max_pooling=False,
+        encoder_n_harmonic_functions=c["nharm"], encoder_omega0=c["omega0"],
+    )
+    ds = H36MDataset(data_dir, c["input_n"], c["output_n"], c["skip_rate"],
+                     split=0)
+    frames = jnp.asarray(ds.frames)
+    tr = Trainer(
+        model, make_optimizer(lr=c["lr"], use_scheduler=False),
+        loss_type="mpjpe", dim_used=H36M_DIM_USED_XYZ,
+        input_n=c["input_n"], output_n=c["output_n"], input_scale=1e-3,
+    )
+    out = {}
+    for seed in JAX_SEEDS:
+        st = tr.init_state(jax.random.PRNGKey(seed))
+        losses = []
+        for ep in range(SEED_STUDY_EPOCHS):
+            st, loss = tr.train_epoch(st, ds, frames, c["batch_size"], seed=ep)
+            losses.append(round(loss, 1))
+        out[str(seed)] = losses
+        print(f"[jax seed {seed}] {losses}")
+    return out
+
+
+# -------------------------------------------------------------------- report
 
 
 def write_outputs(results):
@@ -297,46 +457,75 @@ def write_outputs(results):
         json.dump({"h36m_cfg": H36M_CFG, "amass_cfg": AMASS_CFG,
                    "results": results}, f, indent=2)
 
-    def row(name, t, j, keys):
+    def final_rows(name, t, j, keys):
         lines = []
         for k in keys:
             rel = abs(j[k] - t[k]) / max(abs(t[k]), 1e-9) * 100
-            lines.append(
-                f"| {name} {k} | {t[k]:.3f} | {j[k]:.3f} | {rel:.1f}% |"
-            )
+            lines.append(f"| {name} {k} | {t[k]:.3f} | {j[k]:.3f} | {rel:.1f}% |")
         return lines
 
+    def epoch_row(vals, stride=2):
+        return " ".join(f"{v:.0f}" for v in vals[::stride])
+
+    t_h, j_h = results["torch_h36m"], results["jax_h36m"]
+    t_a, j_a = results["torch_amass"], results["jax_amass"]
     md = [
         "# Convergence-to-quality parity runs",
         "",
-        "Reference (torch CPU, the reference's own train/test code executed in",
-        "place) vs this framework, trained side-by-side on identical synthetic",
-        "corpora with identical hyperparameters (incl. one lr-decay milestone),",
-        "INDEPENDENT inits, real dropout and real shuffling. Produced by",
-        "`python tools/parity_runs.py`; tests/test_parity_runs.py re-runs the",
-        "JAX side against the committed torch numbers.",
+        "Reference (torch CPU, the reference's own train/test code executed",
+        "in place) vs this framework on identical synthetic corpora and",
+        "hyperparameters. Produced by `python tools/parity_runs.py`;",
+        "tests/test_parity_runs.py re-runs the JAX side against the committed",
+        "torch numbers.",
         "",
-        f"- H36M: flagship ConvMixer (mpjpe CLI defaults), {H36M_CFG['n_epochs']}"
-        f" epochs, milestone at {H36M_CFG['milestones']}, synthetic corpus "
-        f"({H36M_CFG['n_frames']} frames/action, seed {H36M_CFG['data_seed']}).",
-        f"- AMASS: MlpMixer (AMASS CLI defaults), {AMASS_CFG['n_epochs']} epochs,"
-        f" synthetic corpus ({AMASS_CFG['n_frames']} frames/seq, seed "
-        f"{AMASS_CFG['data_seed']}).",
+        "## 1. Matched-init runs (the assertion target)",
         "",
-        "| metric | torch reference | this framework | rel. diff |",
+        "The torch init state_dict is imported into the JAX model, then both",
+        "train independently (own shuffling, own dropout masks) for the full",
+        "schedule incl. one lr-decay milestone.",
+        "",
+        f"- H36M: flagship ConvMixer (mpjpe CLI defaults), "
+        f"{H36M_CFG['n_epochs']} epochs, milestones {H36M_CFG['milestones']}.",
+        f"- AMASS: MlpMixer (AMASS CLI defaults), {AMASS_CFG['n_epochs']} "
+        f"epochs, milestones {AMASS_CFG['milestones']}; the test metric uses "
+        f"the divide-by-n fix on BOTH sides (the reference's own test returns "
+        f"inf, train_mixer_amass.py:158,199).",
+        "",
+        "| final metric | torch reference | this framework | rel. diff |",
         "|---|---|---|---|",
     ]
-    md += row("h36m", results["torch_h36m"], results["jax_h36m"],
-              ["train", "val", "test_mpjpe", "test_auc_pck"])
-    md += row("amass", results["torch_amass"], results["jax_amass"],
-              ["train", "val", "test_mpjpe"])
+    md += final_rows("h36m", t_h, j_h,
+                     ["train", "val", "test_mpjpe", "test_auc_pck"])
+    md += final_rows("amass", t_a, j_a, ["train", "val", "test_mpjpe"])
     md += [
         "",
-        f"Wall-clock (s): torch h36m {results['torch_h36m']['wall_s']:.0f}, "
-        f"jax h36m {results['jax_h36m']['wall_s']:.0f}, "
-        f"torch amass {results['torch_amass']['wall_s']:.0f}, "
-        f"jax amass {results['jax_amass']['wall_s']:.0f} "
-        f"(jax timings include one-time XLA compiles; platform: "
+        "Train loss per epoch (every 2nd epoch):",
+        "",
+        f"- h36m torch: {epoch_row(t_h['train_per_epoch'])}",
+        f"- h36m jax:   {epoch_row(j_h['train_per_epoch'])}",
+        f"- amass torch: {epoch_row(t_a['train_per_epoch'], 3)}",
+        f"- amass jax:   {epoch_row(j_a['train_per_epoch'], 3)}",
+        "",
+        "## 2. Independent-init seed study",
+        "",
+        "Both frameworks show the same fast/slow plateau-escape spread over",
+        f"init seeds ({SEED_STUDY_EPOCHS}-epoch train-loss trajectories,",
+        "dropout off). This is why the matched-init runs above — not",
+        "single-seed comparisons — are the meaningful parity evidence.",
+        "",
+        "| seed | torch trajectory | jax trajectory |",
+        "|---|---|---|",
+    ]
+    for s in sorted(set(list(results["torch_seeds"]) + list(results["jax_seeds"]))):
+        tt = results["torch_seeds"].get(s, [])
+        jj = results["jax_seeds"].get(s, [])
+        md.append(f"| {s} | {' '.join(str(x) for x in tt)} | "
+                  f"{' '.join(str(x) for x in jj)} |")
+    md += [
+        "",
+        f"Wall-clock (s): torch h36m {t_h['wall_s']:.0f}, jax h36m "
+        f"{j_h['wall_s']:.0f}, torch amass {t_a['wall_s']:.0f}, jax amass "
+        f"{j_a['wall_s']:.0f} (jax includes one-time XLA compiles; platform: "
         f"{results.get('jax_platform', '?')}).",
     ]
     with open(OUT_MD, "w") as f:
@@ -346,9 +535,8 @@ def write_outputs(results):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--work", default="/tmp/parity_runs")
-    ap.add_argument("--jax_platform", default=None,
-                    help="force a JAX platform (e.g. cpu) for the JAX side")
+    ap.add_argument("--work", default="/tmp/parity_runs2")
+    ap.add_argument("--jax_platform", default=None)
     args = ap.parse_args()
     if not os.path.isdir(REFERENCE):
         sys.exit("reference repo not available")
@@ -357,19 +545,51 @@ def main():
         shutil.rmtree(os.path.join(args.work, sub), ignore_errors=True)
     h36m_dir, amass_dir = make_corpora(args.work)
 
+    cache_path = os.path.join(args.work, "phase_cache.json")
     results = {}
-    print("=== torch h36m ===")
-    results["torch_h36m"] = torch_h36m(h36m_dir, args.work)
-    print(results["torch_h36m"])
-    print("=== torch amass ===")
-    results["torch_amass"] = torch_amass(amass_dir, args.work)
-    print(results["torch_amass"])
-    print("=== jax h36m ===")
-    results["jax_h36m"] = jax_h36m(h36m_dir, args.work, args.jax_platform)
-    print(results["jax_h36m"])
-    print("=== jax amass ===")
-    results["jax_amass"] = jax_amass(amass_dir, args.work, args.jax_platform)
-    print(results["jax_amass"])
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            results = json.load(f)
+
+    def save():
+        with open(cache_path, "w") as f:
+            json.dump(results, f)
+
+    init_arrays = {}
+    if os.path.exists(OUT_INIT):
+        init_arrays = dict(np.load(OUT_INIT))
+
+    if "torch_h36m" not in results:
+        print("=== torch h36m (matched-init source) ===")
+        results["torch_h36m"], sd = torch_h36m(h36m_dir, args.work)
+        init_arrays.update(sd)
+        np.savez(OUT_INIT, **init_arrays)
+        save()
+    if "torch_amass" not in results:
+        print("=== torch amass (matched-init source) ===")
+        results["torch_amass"], sd = torch_amass(amass_dir, args.work)
+        init_arrays.update(sd)
+        np.savez(OUT_INIT, **init_arrays)
+        save()
+    if "torch_seeds" not in results:
+        print("=== torch seed study ===")
+        results["torch_seeds"] = torch_h36m_seed_study(h36m_dir)
+        save()
+    if "jax_h36m" not in results:
+        print("=== jax h36m (torch init imported) ===")
+        results["jax_h36m"] = jax_h36m(h36m_dir, args.work, args.jax_platform,
+                                       init_variables=_load_init("h36m"))
+        save()
+    if "jax_amass" not in results:
+        print("=== jax amass (torch init imported) ===")
+        results["jax_amass"] = jax_amass(amass_dir, args.work, args.jax_platform,
+                                         init_variables=_load_init("amass"))
+        save()
+    if "jax_seeds" not in results:
+        print("=== jax seed study ===")
+        results["jax_seeds"] = jax_h36m_seed_study(h36m_dir, args.jax_platform)
+        save()
+
     import jax
 
     results["jax_platform"] = jax.default_backend()
