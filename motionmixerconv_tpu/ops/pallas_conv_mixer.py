@@ -15,8 +15,10 @@ small 'same' conv is on a VPU. torch's 'same' places the extra pad of
 even kernels on the right — tap offsets use floor((k-1)/2) left pad to match.
 
 Parity: h36m/conv_mixer_model.py:268-292 (block), :453-465 (decoder), incl.
-the shared-SE and 'once'-mode quirks. Inference only; conv_nChan must be 1
-(multi-channel configs fall back to XLA in serving.Predictor).
+the shared-SE and 'once'-mode quirks, avg/max-pool SE (:30-36), and
+BatchNorm regularization (:113-119 — at inference a per-conv-channel affine,
+applied in-kernel as identity-by-default scale/shift rows). Inference only;
+this class covers conv_nChan == 1, FusedConvMixerMC covers conv_nChan >= 2.
 """
 
 from __future__ import annotations
@@ -39,14 +41,13 @@ class FusedConvMixer:
         cfg = model
         if cfg.conv_nChan != 1:
             raise NotImplementedError("fused ConvMixer kernel supports conv_nChan == 1")
-        if cfg.regularization == -1.0:
-            raise NotImplementedError("BatchNorm configs not supported")
         self.model = model
         self.variables = variables
         self.T, self.P = cfg.in_nTP, cfg.out_nTP
         self.E = cfg.dimPosEmb
         self.D_out = cfg.dimPosOut
         self.use_se = cfg.use_se
+        self.use_max_pooling = cfg.use_max_pooling
         self.activation = cfg.activation
         self.num_blocks = cfg.num_blocks
         self.mode_twice = cfg.mode_conv == "twice"
@@ -63,6 +64,8 @@ class FusedConvMixer:
         self.k1, self.k2 = k1, k2
 
         p = jax.device_get(variables["params"])
+        bn = cfg.regularization == -1.0
+        stats = jax.device_get(variables["batch_stats"]) if bn else None
         nb = self.num_blocks
         Tp = self.Tp
 
@@ -70,6 +73,21 @@ class FusedConvMixer:
             return np.stack(
                 [fn(p[f"Mixer_Block_{i}"]) for i in range(nb)]
             ).reshape((nb,) + shape)
+
+        def bn_rows(conv_name):
+            """Inference BatchNorm (conv_mixer_model.py:113-119) as full-row
+            (scale, shift): per-conv-channel affine, scalar at C_out == 1."""
+            s_rows = np.ones((nb, 1, LANE), np.float32)
+            t_rows = np.zeros((nb, 1, LANE), np.float32)
+            if not bn:
+                return s_rows, t_rows
+            for i in range(nb):
+                bp = p[f"Mixer_Block_{i}"][conv_name]["reg"]["BatchNorm_0"]
+                bs = stats[f"Mixer_Block_{i}"][conv_name]["reg"]["BatchNorm_0"]
+                s = float(bp["scale"][0]) / float(np.sqrt(bs["var"][0] + 1e-5))
+                s_rows[i, 0, :] = s
+                t_rows[i, 0, :] = float(bp["bias"][0]) - float(bs["mean"][0]) * s
+            return s_rows, t_rows
 
         # conv kernels: flax layout (kh, kw, 1, 1) -> (kh, kw) tap tables;
         # stored flattened to (nb, kh*kw padded to 8, 128) rows for SMEM-free
@@ -91,17 +109,21 @@ class FusedConvMixer:
         self.c1_bias = stack(lambda b: conv_bias_row(b, "conv1"), (1, LANE))
         self.ln1_g = stack(lambda b: _row(b["LN1"]["scale"], LANE), (1, LANE))
         self.ln1_b = stack(lambda b: _row(b["LN1"]["bias"], LANE), (1, LANE))
+        self.bn1_s, self.bn1_t = bn_rows("conv1")
         if self.mode_twice:
             self.c2_taps = stack(lambda b: conv_taps(b, "conv2", k2),
                                  (max(_ceil(k2[0] * k2[1], 8), 8), LANE))
             self.c2_bias = stack(lambda b: conv_bias_row(b, "conv2"), (1, LANE))
             self.ln2_g = stack(lambda b: _row(b["LN2"]["scale"], LANE), (1, LANE))
             self.ln2_b = stack(lambda b: _row(b["LN2"]["bias"], LANE), (1, LANE))
+            self.bn2_s, self.bn2_t = bn_rows("conv2")
         else:
             z = np.zeros_like(self.c1_taps)
             self.c2_taps, self.c2_bias = z, np.zeros_like(self.c1_bias)
             self.ln2_g = np.zeros_like(self.ln1_g)
             self.ln2_b = np.zeros_like(self.ln1_b)
+            self.bn2_s = np.ones_like(self.bn1_s)
+            self.bn2_t = np.zeros_like(self.bn1_t)
         if self.use_se:
             self.se_w1 = stack(lambda b: _pad2(b["se"]["fc1"]["kernel"], Tp, Tp), (Tp, Tp))
             self.se_w2 = stack(lambda b: _pad2(b["se"]["fc2"]["kernel"], Tp, Tp), (Tp, Tp))
@@ -121,7 +143,9 @@ class FusedConvMixer:
 
         self._weights = [
             self.ln1_g, self.ln1_b, self.c1_taps, self.c1_bias,
+            self.bn1_s, self.bn1_t,
             self.ln2_g, self.ln2_b, self.c2_taps, self.c2_bias,
+            self.bn2_s, self.bn2_t,
             self.se_w1, self.se_w2,
             self.g_ln, self.b_ln, self.w_time, self.b_time,
             self.w_out, self.b_out,
@@ -151,6 +175,7 @@ class FusedConvMixer:
             _conv_mixer_kernel,
             T=self.T, E=self.E, P=self.P, Tp=self.Tp, Pp=self.Pp,
             num_blocks=self.num_blocks, use_se=self.use_se,
+            use_max=self.use_max_pooling,
             activation=self.activation, k1=self.k1, k2=self.k2,
             mode_twice=self.mode_twice,
             proj_w=self.proj_w, proj_b=self.proj_b,
@@ -188,8 +213,8 @@ class FusedConvMixer:
 def make_fused_conv_mixer(model, variables: dict):
     """Kernel factory: conv_nChan == 1 -> FusedConvMixer (roll-stencil
     kernel); conv_nChan >= 2 -> FusedConvMixerMC (lane-matmul kernel).
-    Raises NotImplementedError for unsupported configs (BatchNorm,
-    max-pool SE, C*T > 128)."""
+    BatchNorm and avg/max-pool SE configs are supported by both; raises
+    NotImplementedError only for conv_nChan * in_nTP > 128."""
     if getattr(model, "conv_nChan", 1) == 1:
         return FusedConvMixer(model, variables)
     return FusedConvMixerMC(model, variables)
@@ -212,8 +237,9 @@ class FusedConvMixerMC:
     grid (the mix matrices for all 6 study blocks would not fit VMEM at
     once); the activation carries across block steps in VMEM scratch.
 
-    Constraints: conv_nChan * in_nTP <= 128, no BatchNorm, avg-pool SE.
-    Inference only, like FusedConvMixer.
+    Constraints: conv_nChan * in_nTP <= 128. BatchNorm (per-channel affine
+    lane rows) and avg/max-pool SE are supported. Inference only, like
+    FusedConvMixer.
     """
 
     def __init__(self, model, variables: dict):
@@ -226,14 +252,11 @@ class FusedConvMixerMC:
             raise NotImplementedError(
                 f"fused MC kernel needs conv_nChan*in_nTP <= {LANE}, got {self.R}"
             )
-        if cfg.regularization == -1.0:
-            raise NotImplementedError("BatchNorm configs not supported")
-        if cfg.use_se and cfg.use_max_pooling:
-            raise NotImplementedError("max-pool SE not supported in the MC kernel")
         self.model = model
         self.variables = variables
         self.D_out = cfg.dimPosOut
         self.use_se = cfg.use_se
+        self.use_max_pooling = cfg.use_max_pooling
         self.activation = cfg.activation
         self.num_blocks = cfg.num_blocks
         self.mode_twice = cfg.mode_conv == "twice"
@@ -246,6 +269,8 @@ class FusedConvMixerMC:
         self.k1, self.k2 = k1, k2
 
         p = jax.device_get(variables["params"])
+        bn = cfg.regularization == -1.0
+        stats = jax.device_get(variables["batch_stats"]) if bn else None
         nb, C, T, E, R, Ep = (self.num_blocks, self.C, self.T, self.E,
                               self.R, self.Ep)
 
@@ -278,22 +303,45 @@ class FusedConvMixerMC:
         def stack(fn):
             return np.stack([fn(p[f"Mixer_Block_{i}"]) for i in range(nb)])
 
+        def bn_lane_rows(conv_name):
+            """Inference BatchNorm as (scale, shift) lane vectors: the
+            per-conv-channel affine repeats over the T lanes of each channel
+            group (lane r belongs to channel r // T)."""
+            s_rows = np.ones((nb, 1, LANE), np.float32)
+            t_rows = np.zeros((nb, 1, LANE), np.float32)
+            if not bn:
+                return s_rows, t_rows
+            for i in range(nb):
+                bp = p[f"Mixer_Block_{i}"][conv_name]["reg"]["BatchNorm_0"]
+                bs = stats[f"Mixer_Block_{i}"][conv_name]["reg"]["BatchNorm_0"]
+                s = np.asarray(bp["scale"], np.float32) / np.sqrt(
+                    np.asarray(bs["var"], np.float32) + 1e-5)
+                t = np.asarray(bp["bias"], np.float32) - \
+                    np.asarray(bs["mean"], np.float32) * s
+                s_rows[i, 0, :R] = np.repeat(s, T)
+                t_rows[i, 0, :R] = np.repeat(t, T)
+            return s_rows, t_rows
+
         self.c1_mix = stack(lambda bp: mix_matrices(
             np.asarray(bp["conv1"]["conv"]["kernel"]), k1[0], k1[1]))
         self.c1_bias = stack(lambda bp: bias_lanes(bp["conv1"]["conv"]["bias"]))
         self.ln1_g = stack(lambda bp: ln_plane(bp["LN1"]["scale"]))
         self.ln1_b = stack(lambda bp: ln_plane(bp["LN1"]["bias"]))
+        self.bn1_s, self.bn1_t = bn_lane_rows("conv1")
         if self.mode_twice:
             self.c2_mix = stack(lambda bp: mix_matrices(
                 np.asarray(bp["conv2"]["conv"]["kernel"]), k2[0], k2[1]))
             self.c2_bias = stack(lambda bp: bias_lanes(bp["conv2"]["conv"]["bias"]))
             self.ln2_g = stack(lambda bp: ln_plane(bp["LN2"]["scale"]))
             self.ln2_b = stack(lambda bp: ln_plane(bp["LN2"]["bias"]))
+            self.bn2_s, self.bn2_t = bn_lane_rows("conv2")
         else:
             self.c2_mix = np.zeros((nb, 1, LANE, LANE), np.float32)
             self.c2_bias = np.zeros_like(self.c1_bias)
             self.ln2_g = np.zeros_like(self.ln1_g)
             self.ln2_b = np.zeros_like(self.ln1_b)
+            self.bn2_s = np.ones_like(self.bn1_s)
+            self.bn2_t = np.zeros_like(self.bn1_t)
 
         # SE: squeeze matrix G sums each t's lanes over channels (x 1/(E*C)),
         # H scatters the (T,) gate back to (R,) lanes.
@@ -332,7 +380,9 @@ class FusedConvMixerMC:
 
         self._block_weights = [
             self.ln1_g, self.ln1_b, self.c1_mix, self.c1_bias,
+            self.bn1_s, self.bn1_t,
             self.ln2_g, self.ln2_b, self.c2_mix, self.c2_bias,
+            self.bn2_s, self.bn2_t,
             self.se_w1, self.se_w2,
         ]
         self._dec_weights = [
@@ -366,6 +416,7 @@ class FusedConvMixerMC:
             _conv_mixer_mc_kernel,
             T=self.T, E=self.E, P=self.P, C=self.C, Ep=self.Ep, Pp=self.Pp,
             num_blocks=self.num_blocks, use_se=self.use_se,
+            use_max=self.use_max_pooling,
             activation=self.activation, k1=self.k1, k2=self.k2,
             mode_twice=self.mode_twice,
         )
@@ -413,13 +464,14 @@ class FusedConvMixerMC:
 
 def _conv_mixer_mc_kernel(
     x_ref,
-    ln1_g, ln1_b, c1_mix, c1_bias,
-    ln2_g, ln2_b, c2_mix, c2_bias,
+    ln1_g, ln1_b, c1_mix, c1_bias, bn1_s, bn1_t,
+    ln2_g, ln2_b, c2_mix, c2_bias, bn2_s, bn2_t,
     se_w1, se_w2,
     se_G, se_H, g_ln, b_ln, m_dec, bias_dec, w_out, b_out,
     out_ref,
     y_scr,
-    *, T, E, P, C, Ep, Pp, num_blocks, use_se, activation, k1, k2, mode_twice,
+    *, T, E, P, C, Ep, Pp, num_blocks, use_se, use_max, activation, k1, k2,
+    mode_twice,
 ):
     """One ConvMixer block step (grid dim 1) on one batch tile (grid dim 0).
 
@@ -470,8 +522,20 @@ def _conv_mixer_mc_kernel(
         return acc + bias_row[0, :, :][None]
 
     def se_gate(y):
-        s = jnp.sum(jnp.where(e_mask, y, 0.0), axis=1, keepdims=True)  # (bb,1,R)
-        s = mm_lanes(s, se_G[:])                      # (bb, 1, T-lanes)
+        if use_max:
+            # max-pool squeeze over (E, C) per t (conv_mixer_model.py:30-36):
+            # masked sublane max, then a cross-channel lane max via C-1
+            # strided rolls (lane t collects groups c*T + t), masked to the
+            # T gate lanes the fc matmuls read.
+            m = jnp.max(jnp.where(e_mask, y, -jnp.inf), axis=1, keepdims=True)
+            s = m
+            for c in range(1, C):
+                s = jnp.maximum(s, pltpu.roll(m, (-c * T) % LANE, 2))
+            t_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANE), 2) < T
+            s = jnp.where(t_lanes, s, 0.0)            # (bb, 1, T-lanes)
+        else:
+            s = jnp.sum(jnp.where(e_mask, y, 0.0), axis=1, keepdims=True)
+            s = mm_lanes(s, se_G[:])                  # (bb, 1, T-lanes)
         e = jnp.maximum(mm_lanes(s, se_w1[0]), 0.0)
         e = jax.nn.sigmoid(mm_lanes(e, se_w2[0]))
         e = mm_lanes(e, se_H[:])                      # (bb, 1, R) gate
@@ -482,14 +546,17 @@ def _conv_mixer_mc_kernel(
 
     y = y_scr[:]
     z = layer_norm(y, ln1_g[0], ln1_b[0])
-    z = masked(_act(activation, conv_mc(z, c1_mix, c1_bias, k1)))
+    z = _act(activation, conv_mc(z, c1_mix, c1_bias, k1))
+    # inference BatchNorm (identity rows unless regularization == -1)
+    z = masked(z * bn1_s[0][None] + bn1_t[0][None])
     if use_se:
         z = se_gate(z)
     y = y + z
 
     if mode_twice:
         z = layer_norm(y, ln2_g[0], ln2_b[0])
-        z = masked(_act(activation, conv_mc(z, c2_mix, c2_bias, k2)))
+        z = _act(activation, conv_mc(z, c2_mix, c2_bias, k2))
+        z = masked(z * bn2_s[0][None] + bn2_t[0][None])
     else:
         z = y  # LN2/conv2 are identity in 'once' mode
     if use_se:
@@ -511,13 +578,13 @@ def _conv_mixer_mc_kernel(
 
 def _conv_mixer_kernel(
     x_ref,
-    ln1_g, ln1_b, c1_taps, c1_bias,
-    ln2_g, ln2_b, c2_taps, c2_bias,
+    ln1_g, ln1_b, c1_taps, c1_bias, bn1_s, bn1_t,
+    ln2_g, ln2_b, c2_taps, c2_bias, bn2_s, bn2_t,
     se_w1, se_w2,
     g_ln, b_ln, w_time, b_time, w_out, b_out,
     out_ref,
-    *, T, E, P, Tp, Pp, num_blocks, use_se, activation, k1, k2, mode_twice,
-    proj_w, proj_b,
+    *, T, E, P, Tp, Pp, num_blocks, use_se, use_max, activation, k1, k2,
+    mode_twice, proj_w, proj_b,
 ):
     f32 = jnp.float32
     e_mask = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANE), 2) < E
@@ -559,7 +626,13 @@ def _conv_mixer_kernel(
         return acc + bias_row[:, None, :]
 
     def se_gate(i, y):
-        s = jnp.sum(jnp.where(e_mask, y, 0.0), axis=-1) / E  # (bb, Tp)
+        if use_max:
+            # max-pool squeeze (conv_mixer_model.py:30-36): -inf outside the
+            # valid E lanes, zeroed on padded t rows to keep the dot finite.
+            s = jnp.max(jnp.where(e_mask, y, -jnp.inf), axis=-1)
+            s = jnp.where(t_mask_row, s, 0.0)
+        else:
+            s = jnp.sum(jnp.where(e_mask, y, 0.0), axis=-1) / E  # (bb, Tp)
         e = jnp.maximum(jnp.dot(s, se_w1[i], preferred_element_type=f32,
                                 precision=jax.lax.Precision.HIGHEST), 0.0)
         e = jax.nn.sigmoid(jnp.dot(e, se_w2[i], preferred_element_type=f32,
@@ -578,6 +651,8 @@ def _conv_mixer_kernel(
     for i in range(num_blocks):
         z = layer_norm(y, ln1_g[i], ln1_b[i])
         z = _act(activation, conv_same(z, c1_taps[i], c1_bias[i], k1))
+        # inference BatchNorm (identity rows unless regularization == -1)
+        z = z * bn1_s[i][:, None, :] + bn1_t[i][:, None, :]
         z = jnp.where(e_mask & t_mask, z, 0.0)
         if use_se:
             z = se_gate(i, z)
@@ -586,6 +661,7 @@ def _conv_mixer_kernel(
         if mode_twice:
             z = layer_norm(y, ln2_g[i], ln2_b[i])
             z = _act(activation, conv_same(z, c2_taps[i], c2_bias[i], k2))
+            z = z * bn2_s[i][:, None, :] + bn2_t[i][:, None, :]
             z = jnp.where(e_mask & t_mask, z, 0.0)
         else:
             z = y  # LN2/conv2 are identity in 'once' mode

@@ -20,8 +20,17 @@ is ~2-2.5x faster than the jitted flax forward at serving batch sizes
 use the plain forward there.
 
 Semantics parity: h36m/mlp_mixer.py:306-337 with the shared-SE MixerBlock
-(:138-164). Inference only (dropout inactive at eval; BatchNorm configs are
-rejected).
+(:138-164), avg- or max-pool SE squeeze (:20-24), and BatchNorm
+regularization (:68-76). Inference only (dropout inactive at eval).
+
+BatchNorm configs (regularization == -1) cost nothing extra in-kernel: at
+inference BN is an affine over its channel axis (H for token mixing, S for
+channel mixing — both commute through the block's second matmul, which
+contracts the *other* axis), so each MlpBlock's two BN affines fold into a
+per-lane multiplier A and an additive plane P that replace the fc2 bias:
+  BN2(fc2(BN1(a))) = A ⊙ (a @ W2) + P,
+  A = s1*s2,  P = s2*(t1*colsum(W2) + b2) + t2,   s = γ/sqrt(var+eps),
+  t = β - mean*s. The identity (no-BN) case is A=1, P=b2.
 """
 
 from __future__ import annotations
@@ -59,20 +68,24 @@ class FusedMlpMixer:
 
     def __init__(self, model, variables: dict):
         cfg = model
-        if cfg.regularization == -1.0:
+        if getattr(cfg, "mlp_block_type", "normal") != "normal":
             raise NotImplementedError(
-                "BatchNorm configs not supported in the fused kernel"
+                "fused kernel covers mlp_block_type='normal' (the only type "
+                "the reference CLI can construct, h36m/mlp_mixer.py:271-272)"
             )
         self.T, self.P = cfg.seq_len, cfg.pred_len
         self.D, self.H = cfg.input_size, cfg.hidden_dim
         self.num_classes = cfg.num_classes
         self.use_se = cfg.use_se
+        self.use_max_pooling = cfg.use_max_pooling
         self.activation = cfg.activation
         self.num_blocks = cfg.num_blocks
         self.Tp = max(_ceil(self.T, 8), 8)
         self.Pp = max(_ceil(self.P, 8), 8)
 
         p = jax.device_get(variables["params"])
+        bn = cfg.regularization == -1.0
+        stats = jax.device_get(variables["batch_stats"]) if bn else None
         nb = self.num_blocks
         Tp, Pp = self.Tp, self.Pp
 
@@ -91,6 +104,53 @@ class FusedMlpMixer:
             ).reshape(nb, r, c)
 
         tok, ch = "mlp_block_token_mixing", "mlp_block_channel_mixing"
+
+        def bn_affine(i, block, reg, n):
+            """Inference BN as an affine (s, t) over its n-channel axis."""
+            if not bn:
+                return np.ones(n, np.float32), np.zeros(n, np.float32)
+            bp = p[f"Mixer_Block_{i}"][block][reg]["BatchNorm_0"]
+            bs = stats[f"Mixer_Block_{i}"][block][reg]["BatchNorm_0"]
+            s = np.asarray(bp["scale"], np.float32) / np.sqrt(
+                np.asarray(bs["var"], np.float32) + 1e-5
+            )
+            t = np.asarray(bp["bias"], np.float32) - np.asarray(
+                bs["mean"], np.float32) * s
+            return s, t
+
+        def tok_fold(i):
+            """Fold the token block's BN1/BN2 (per-H) + fc2 bias into an
+            (A row, P plane) pair applied post-swap in (bb, Tp, H) layout."""
+            b = p[f"Mixer_Block_{i}"][tok]
+            w2 = np.asarray(b["fc2"]["kernel"], np.float32)   # (tok_dim, T)
+            b2 = np.asarray(b["fc2"]["bias"], np.float32)     # (T,)
+            s1, t1 = bn_affine(i, tok, "reg1", self.H)
+            s2, t2 = bn_affine(i, tok, "reg2", self.H)
+            A = _row(s1 * s2, LANE)
+            P = np.zeros((Tp, LANE), np.float32)
+            P[: self.T, : self.H] = (
+                s2[None, :] * (t1[None, :] * w2.sum(0)[:, None] + b2[:, None])
+                + t2[None, :]
+            )
+            return A, P
+
+        def ch_fold(i):
+            """Fold the channel block's BN1/BN2 (per-S) + fc2 bias into
+            (A plane, P plane) applied in (bb, Tp, H) layout."""
+            b = p[f"Mixer_Block_{i}"][ch]
+            w2 = np.asarray(b["fc2"]["kernel"], np.float32)   # (ch_dim, H)
+            b2 = np.asarray(b["fc2"]["bias"], np.float32)     # (H,)
+            s1, t1 = bn_affine(i, ch, "reg1", self.T)
+            s2, t2 = bn_affine(i, ch, "reg2", self.T)
+            A = np.zeros((Tp, LANE), np.float32)
+            A[: self.T, : self.H] = (s1 * s2)[:, None]
+            P = np.zeros((Tp, LANE), np.float32)
+            P[: self.T, : self.H] = (
+                s2[:, None] * (t1[:, None] * w2.sum(0)[None, :] + b2[None, :])
+                + t2[:, None]
+            )
+            return A, P
+
         self.ln1_g = stack2(lambda b: _row(b["LN1"]["scale"], LANE), 1, LANE)
         self.ln1_b = stack2(lambda b: _row(b["LN1"]["bias"], LANE), 1, LANE)
         self.ln2_g = stack2(lambda b: _row(b["LN2"]["scale"], LANE), 1, LANE)
@@ -98,11 +158,13 @@ class FusedMlpMixer:
         self.tok_w1 = stack2(lambda b: _pad2(b[tok]["fc1"]["kernel"], Tp, LANE), Tp, LANE)
         self.tok_b1 = stack2(lambda b: _row(b[tok]["fc1"]["bias"], LANE), 1, LANE)
         self.tok_w2 = stack2(lambda b: _pad2(b[tok]["fc2"]["kernel"], LANE, Tp), LANE, Tp)
-        self.tok_b2 = stack2(lambda b: _row(b[tok]["fc2"]["bias"], Tp), 1, Tp)
         self.ch_w1 = stack2(lambda b: _pad2(b[ch]["fc1"]["kernel"], LANE, LANE), LANE, LANE)
         self.ch_b1 = stack2(lambda b: _row(b[ch]["fc1"]["bias"], LANE), 1, LANE)
         self.ch_w2 = stack2(lambda b: _pad2(b[ch]["fc2"]["kernel"], LANE, LANE), LANE, LANE)
-        self.ch_b2 = stack2(lambda b: _row(b[ch]["fc2"]["bias"], LANE), 1, LANE)
+        self.tok_A = np.stack([tok_fold(i)[0] for i in range(nb)])
+        self.tok_P = np.stack([tok_fold(i)[1] for i in range(nb)])
+        self.ch_A = np.stack([ch_fold(i)[0] for i in range(nb)])
+        self.ch_P = np.stack([ch_fold(i)[1] for i in range(nb)])
         if self.use_se:
             self.se_w1 = stack2(lambda b: _pad2(b["se"]["fc1"]["kernel"], Tp, Tp), Tp, Tp)
             self.se_w2 = stack2(lambda b: _pad2(b["se"]["fc2"]["kernel"], Tp, Tp), Tp, Tp)
@@ -113,9 +175,9 @@ class FusedMlpMixer:
         self._weights = [
             self.w_embed, self.b_embed,
             self.ln1_g, self.ln1_b, self.tok_w1, self.tok_b1,
-            self.tok_w2, self.tok_b2, self.se_w1, self.se_w2,
+            self.tok_w2, self.tok_A, self.tok_P, self.se_w1, self.se_w2,
             self.ln2_g, self.ln2_b, self.ch_w1, self.ch_b1,
-            self.ch_w2, self.ch_b2,
+            self.ch_w2, self.ch_A, self.ch_P,
             self.g_ln, self.b_ln, self.w_time, self.b_time,
             self.w_out, self.b_out,
         ]
@@ -131,7 +193,7 @@ class FusedMlpMixer:
             _mixer_kernel,
             T=self.T, H=self.H, P=self.P, Tp=self.Tp, Pp=self.Pp,
             num_blocks=self.num_blocks, use_se=self.use_se,
-            activation=self.activation,
+            use_max=self.use_max_pooling, activation=self.activation,
         )
 
         def _const_map(nd):
@@ -194,11 +256,11 @@ def _act(name: str, x):
 def _mixer_kernel(
     x_ref,
     w_embed, b_embed,
-    ln1_g, ln1_b, tok_w1, tok_b1, tok_w2, tok_b2, se_w1, se_w2,
-    ln2_g, ln2_b, ch_w1, ch_b1, ch_w2, ch_b2,
+    ln1_g, ln1_b, tok_w1, tok_b1, tok_w2, tok_A, tok_P, se_w1, se_w2,
+    ln2_g, ln2_b, ch_w1, ch_b1, ch_w2, ch_A, ch_P,
     g_ln, b_ln, w_time, b_time, w_out, b_out,
     out_ref,
-    *, T, H, P, Tp, Pp, num_blocks, use_se, activation,
+    *, T, H, P, Tp, Pp, num_blocks, use_se, use_max, activation,
 ):
     bb = x_ref.shape[0]
     f32 = jnp.float32
@@ -208,12 +270,14 @@ def _mixer_kernel(
     t_mask_row = jax.lax.broadcasted_iota(jnp.int32, (1, Tp), 1) < T
     p_mask = jax.lax.broadcasted_iota(jnp.int32, (1, Pp, 1), 1) < P
 
-    def mm_lastdim(y3, w2, bias_row):
-        """(bb, S, K) @ (K, N) + (1, N) -> (bb, S, N) via a 2-D matmul."""
+    def mm_lastdim(y3, w2, bias_row=None):
+        """(bb, S, K) @ (K, N) [+ (1, N)] -> (bb, S, N) via a 2-D matmul."""
         s, k = y3.shape[1], y3.shape[2]
         y2 = y3.reshape(bb * s, k)
         r = jnp.dot(y2, w2, preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST) + bias_row
+                    precision=jax.lax.Precision.HIGHEST)
+        if bias_row is not None:
+            r = r + bias_row
         return r.reshape(bb, s, r.shape[-1])
 
     def layer_norm(y, gamma_row, beta_row):
@@ -225,7 +289,14 @@ def _mixer_kernel(
         return d * inv * gamma_row[:, None, :] + beta_row[:, None, :]
 
     def se_gate(i, y):
-        s = jnp.sum(jnp.where(h_mask, y, 0.0), axis=-1) / H  # (bb, Tp)
+        if use_max:
+            # max-pool squeeze (mlp_mixer.py:20-22): masked -inf over padded
+            # H lanes, then zero the padded t rows so the fc matmuls stay
+            # finite (0 * inf would poison the dot otherwise).
+            s = jnp.max(jnp.where(h_mask, y, -jnp.inf), axis=-1)
+            s = jnp.where(t_mask_row, s, 0.0)
+        else:
+            s = jnp.sum(jnp.where(h_mask, y, 0.0), axis=-1) / H  # (bb, Tp)
         e = jnp.maximum(jnp.dot(s, se_w1[i], preferred_element_type=f32,
                                 precision=jax.lax.Precision.HIGHEST), 0.0)
         e = jax.nn.sigmoid(jnp.dot(e, se_w2[i], preferred_element_type=f32,
@@ -238,21 +309,23 @@ def _mixer_kernel(
     y = jnp.where(h_mask & t_mask, y, 0.0)
 
     for i in range(num_blocks):
-        # token mixing
+        # token mixing (BN folded into tok_A/tok_P, see module docstring)
         z = layer_norm(y, ln1_g[i], ln1_b[i])
         zt = jnp.swapaxes(z, 1, 2)  # (bb, LANE, Tp)
         h1 = _act(activation, mm_lastdim(zt, tok_w1[i], tok_b1[i]))
-        h2 = mm_lastdim(h1, tok_w2[i], tok_b2[i])
+        h2 = mm_lastdim(h1, tok_w2[i])
         z = jnp.swapaxes(h2, 1, 2)  # (bb, Tp, LANE)
+        z = z * tok_A[i][:, None, :] + tok_P[i][None]
         z = jnp.where(h_mask & t_mask, z, 0.0)
         if use_se:
             z = se_gate(i, z)
         y = y + z
 
-        # channel mixing
+        # channel mixing (BN folded into ch_A/ch_P)
         z = layer_norm(y, ln2_g[i], ln2_b[i])
         h1 = _act(activation, mm_lastdim(z, ch_w1[i], ch_b1[i]))
-        h2 = mm_lastdim(h1, ch_w2[i], ch_b2[i])
+        h2 = mm_lastdim(h1, ch_w2[i])
+        h2 = h2 * ch_A[i][None] + ch_P[i][None]
         z = jnp.where(h_mask & t_mask, h2, 0.0)
         if use_se:
             z = se_gate(i, z)

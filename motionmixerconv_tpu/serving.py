@@ -12,6 +12,7 @@ forward above it, where XLA's bulk matmuls win.
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Optional
 
 import jax
@@ -26,8 +27,11 @@ class Predictor:
     Args:
         model: flax module ((B, input_n, D) -> (B, output_n, D)).
         variables: model variables ({'params': ...}).
-        use_fused: try the fused Pallas kernel for small batches (MlpMixer
-            without BatchNorm only; silently falls back otherwise).
+        use_fused: try the fused Pallas kernel for small batches. Covered:
+            MlpMixer with mlp_block_type='normal' and ConvMixer with
+            conv_nChan * in_nTP <= 128 — each incl. BatchNorm and avg/max
+            SE configs. Unsupported shapes fall back to the jitted flax
+            forward with a visible warning (``fused_fallback_reason``).
         fused_max_batch: largest batch routed to the fused kernel.
     """
 
@@ -40,6 +44,7 @@ class Predictor:
             lambda v, x: self.model.apply(v, x, training=False)
         )
         self._fused = None
+        self.fused_fallback_reason: Optional[str] = None
         if use_fused and jax.default_backend() == "tpu":
             try:
                 if isinstance(model, MlpMixer):
@@ -54,8 +59,13 @@ class Predictor:
                         # picks the single-channel stencil kernel or the
                         # multi-channel lane-matmul kernel by conv_nChan
                         self._fused = make_fused_conv_mixer(model, variables)
-            except NotImplementedError:
-                self._fused = None
+            except NotImplementedError as e:
+                self.fused_fallback_reason = str(e)
+                warnings.warn(
+                    f"serving: fused kernel unavailable ({e}); "
+                    "all batches use the jitted XLA forward",
+                    stacklevel=2,
+                )
 
     @classmethod
     def from_checkpoint(cls, model, path: str, num_blocks: Optional[int] = None,

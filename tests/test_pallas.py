@@ -9,17 +9,30 @@ from motionmixerconv_tpu.models import MlpMixer
 from motionmixerconv_tpu.ops.pallas_mixer import FusedMlpMixer
 
 
+def _warm_bn(model, variables, x, steps=3):
+    """Run a few training-mode applies so BatchNorm stats are non-trivial."""
+    vs = dict(variables)
+    for i in range(steps):
+        _, upd = model.apply(vs, x + 0.1 * i, training=True,
+                             mutable=["batch_stats"])
+        vs["batch_stats"] = upd["batch_stats"]
+    return vs
+
+
 def _case(activation, use_se, num_blocks=2, hidden=50, tok=20, ch=50,
-          seq=10, pred=25, dim=66, r_se=4):
+          seq=10, pred=25, dim=66, r_se=4, regularization=0.1,
+          use_max_pooling=False):
     model = MlpMixer(
         num_classes=dim, num_blocks=num_blocks, hidden_dim=hidden,
         tokens_mlp_dim=tok, channels_mlp_dim=ch, seq_len=seq, pred_len=pred,
-        activation=activation, regularization=0.1, input_size=dim,
-        r_se=r_se, use_se=use_se,
+        activation=activation, regularization=regularization, input_size=dim,
+        r_se=r_se, use_se=use_se, use_max_pooling=use_max_pooling,
     )
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.randn(37, seq, dim).astype(np.float32) * 0.5)
     variables = model.init(jax.random.PRNGKey(3), x, training=False)
+    if regularization == -1.0:
+        variables = _warm_bn(model, variables, x)
     want = model.apply(variables, x, training=False)
     fused = FusedMlpMixer(model, variables)
     return fused, x, want
@@ -48,12 +61,37 @@ def test_ragged_batch_and_block_sizes():
         np.testing.assert_allclose(got, want, atol=2e-4)
 
 
-def test_batchnorm_config_rejected():
-    model = MlpMixer(
-        num_classes=48, num_blocks=1, hidden_dim=60, tokens_mlp_dim=40,
-        channels_mlp_dim=60, seq_len=10, pred_len=10, activation="gelu",
-        regularization=-1.0, input_size=48, use_se=True,
-    )
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 48)))
-    with pytest.raises(NotImplementedError):
-        FusedMlpMixer(model, variables)
+def test_fused_batchnorm_parity():
+    """BatchNorm configs run in-kernel via the folded (A, P) affines —
+    warmed running stats, both block types' BN axes (H and S)."""
+    fused, x, want = _case("gelu", True, regularization=-1.0)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_fused_max_pool_se():
+    """use_max_pooling squeezes with max, not mean (mlp_mixer.py:20-22);
+    the fused kernel must match (this silently diverged before round 2)."""
+    fused, x, want = _case("gelu", True, use_max_pooling=True)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    # and combined with BatchNorm
+    fused, x, want = _case("mish", True, use_max_pooling=True,
+                           regularization=-1.0)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_variant_block_types_rejected():
+    """channel_only / token_only variants have a different parameter tree;
+    the fused kernel must refuse them, not KeyError mid-build."""
+    for bt in ("channel_only", "token_only"):
+        model = MlpMixer(
+            num_classes=48, num_blocks=1, hidden_dim=60, tokens_mlp_dim=40,
+            channels_mlp_dim=60, seq_len=10, pred_len=10, activation="gelu",
+            regularization=0.1, input_size=48, use_se=True,
+            mlp_block_type=bt,
+        )
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 48)))
+        with pytest.raises(NotImplementedError):
+            FusedMlpMixer(model, variables)

@@ -15,18 +15,26 @@ from motionmixerconv_tpu.ops.pallas_conv_mixer import (
 
 def _case(mode_conv="twice", k1=(1, 3), activation="mish", use_se=True,
           nharm=8, num_blocks=2, emb=50, in_ntp=10, out_ntp=25, dim=66,
-          conv_nChan=1, r_se=2, batch=19):
+          conv_nChan=1, r_se=2, batch=19, regularization=0.1,
+          use_max_pooling=False):
     model = ConvMixer(
         num_blocks=num_blocks, dimPosIn=dim, dimPosEmb=emb, dimPosOut=dim,
         in_nTP=in_ntp, out_nTP=out_ntp, conv_nChan=conv_nChan,
         conv1_kernel_shape=k1, conv1_stride=(1, 1), conv1_padding=None,
-        mode_conv=mode_conv, activation=activation, regularization=0.1,
-        use_se=use_se, r_se=r_se, use_max_pooling=False,
+        mode_conv=mode_conv, activation=activation,
+        regularization=regularization,
+        use_se=use_se, r_se=r_se, use_max_pooling=use_max_pooling,
         encoder_n_harmonic_functions=nharm, encoder_omega0=0.1,
     )
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.randn(batch, in_ntp, dim).astype(np.float32) * 0.5)
     variables = model.init(jax.random.PRNGKey(4), x, training=False)
+    if regularization == -1.0:
+        # warm the BatchNorm running stats so they are non-trivial
+        for i in range(3):
+            _, upd = model.apply(variables, x + 0.1 * i, training=True,
+                                 mutable=["batch_stats"])
+            variables = {**variables, "batch_stats": upd["batch_stats"]}
     want = model.apply(variables, x, training=False)
     return make_fused_conv_mixer(model, variables), x, want
 
@@ -87,5 +95,33 @@ def test_fused_mc_kernels(k1):
 def test_fused_mc_once_mode_no_se():
     fused, x, want = _case(conv_nChan=3, mode_conv="once", activation="gelu",
                            use_se=False, nharm=-1, emb=33, batch=5)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+@pytest.mark.parametrize("conv_nChan", [1, 8])
+def test_fused_batchnorm_parity(conv_nChan):
+    """BatchNorm (regularization == -1) runs in-kernel as per-conv-channel
+    affine rows with warmed running stats, in both kernels."""
+    fused, x, want = _case(conv_nChan=conv_nChan, regularization=-1.0,
+                           activation="gelu", emb=40, batch=9)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+@pytest.mark.parametrize("conv_nChan", [1, 8])
+def test_fused_max_pool_se(conv_nChan):
+    """Max-pool SE squeeze (conv_mixer_model.py:30-36) — the C=1 kernel
+    silently used mean before round 2; the MC kernel rejected it."""
+    fused, x, want = _case(conv_nChan=conv_nChan, use_max_pooling=True,
+                           emb=40, batch=9)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_fused_mc_batchnorm_max_pool_combined():
+    fused, x, want = _case(conv_nChan=4, regularization=-1.0,
+                           use_max_pooling=True, mode_conv="once",
+                           activation="gelu", emb=33, batch=5)
     got = fused(x, block_b=8, interpret=True)
     np.testing.assert_allclose(got, want, atol=5e-4)
