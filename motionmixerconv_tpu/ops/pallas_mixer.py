@@ -68,11 +68,10 @@ class FusedMlpMixer:
 
     def __init__(self, model, variables: dict):
         cfg = model
-        if getattr(cfg, "mlp_block_type", "normal") != "normal":
-            raise NotImplementedError(
-                "fused kernel covers mlp_block_type='normal' (the only type "
-                "the reference CLI can construct, h36m/mlp_mixer.py:271-272)"
-            )
+        bt = getattr(cfg, "mlp_block_type", "normal")
+        # mirror the model's rule: anything not channel/token-only is 'normal'
+        # (models/mixer_mlp.py:233-251)
+        self.block_type = bt if bt in ("channel_only", "token_only") else "normal"
         self.T, self.P = cfg.seq_len, cfg.pred_len
         self.D, self.H = cfg.input_size, cfg.hidden_dim
         self.num_classes = cfg.num_classes
@@ -151,20 +150,40 @@ class FusedMlpMixer:
             )
             return A, P
 
-        self.ln1_g = stack2(lambda b: _row(b["LN1"]["scale"], LANE), 1, LANE)
-        self.ln1_b = stack2(lambda b: _row(b["LN1"]["bias"], LANE), 1, LANE)
-        self.ln2_g = stack2(lambda b: _row(b["LN2"]["scale"], LANE), 1, LANE)
-        self.ln2_b = stack2(lambda b: _row(b["LN2"]["bias"], LANE), 1, LANE)
-        self.tok_w1 = stack2(lambda b: _pad2(b[tok]["fc1"]["kernel"], Tp, LANE), Tp, LANE)
-        self.tok_b1 = stack2(lambda b: _row(b[tok]["fc1"]["bias"], LANE), 1, LANE)
-        self.tok_w2 = stack2(lambda b: _pad2(b[tok]["fc2"]["kernel"], LANE, Tp), LANE, Tp)
-        self.ch_w1 = stack2(lambda b: _pad2(b[ch]["fc1"]["kernel"], LANE, LANE), LANE, LANE)
-        self.ch_b1 = stack2(lambda b: _row(b[ch]["fc1"]["bias"], LANE), 1, LANE)
-        self.ch_w2 = stack2(lambda b: _pad2(b[ch]["fc2"]["kernel"], LANE, LANE), LANE, LANE)
-        self.tok_A = np.stack([tok_fold(i)[0] for i in range(nb)])
-        self.tok_P = np.stack([tok_fold(i)[1] for i in range(nb)])
-        self.ch_A = np.stack([ch_fold(i)[0] for i in range(nb)])
-        self.ch_P = np.stack([ch_fold(i)[1] for i in range(nb)])
+        has_tok = self.block_type in ("normal", "token_only")
+        has_ch = self.block_type in ("normal", "channel_only")
+        if has_tok:
+            self.ln1_g = stack2(lambda b: _row(b["LN1"]["scale"], LANE), 1, LANE)
+            self.ln1_b = stack2(lambda b: _row(b["LN1"]["bias"], LANE), 1, LANE)
+            self.tok_w1 = stack2(lambda b: _pad2(b[tok]["fc1"]["kernel"], Tp, LANE), Tp, LANE)
+            self.tok_b1 = stack2(lambda b: _row(b[tok]["fc1"]["bias"], LANE), 1, LANE)
+            self.tok_w2 = stack2(lambda b: _pad2(b[tok]["fc2"]["kernel"], LANE, Tp), LANE, Tp)
+            self.tok_A = np.stack([tok_fold(i)[0] for i in range(nb)])
+            self.tok_P = np.stack([tok_fold(i)[1] for i in range(nb)])
+        else:
+            self.ln1_g = np.zeros((nb, 1, LANE), np.float32)
+            self.ln1_b = np.zeros((nb, 1, LANE), np.float32)
+            self.tok_w1 = np.zeros((nb, Tp, LANE), np.float32)
+            self.tok_b1 = np.zeros((nb, 1, LANE), np.float32)
+            self.tok_w2 = np.zeros((nb, LANE, Tp), np.float32)
+            self.tok_A = np.zeros((nb, 1, LANE), np.float32)
+            self.tok_P = np.zeros((nb, Tp, LANE), np.float32)
+        if has_ch:
+            self.ln2_g = stack2(lambda b: _row(b["LN2"]["scale"], LANE), 1, LANE)
+            self.ln2_b = stack2(lambda b: _row(b["LN2"]["bias"], LANE), 1, LANE)
+            self.ch_w1 = stack2(lambda b: _pad2(b[ch]["fc1"]["kernel"], LANE, LANE), LANE, LANE)
+            self.ch_b1 = stack2(lambda b: _row(b[ch]["fc1"]["bias"], LANE), 1, LANE)
+            self.ch_w2 = stack2(lambda b: _pad2(b[ch]["fc2"]["kernel"], LANE, LANE), LANE, LANE)
+            self.ch_A = np.stack([ch_fold(i)[0] for i in range(nb)])
+            self.ch_P = np.stack([ch_fold(i)[1] for i in range(nb)])
+        else:
+            self.ln2_g = np.zeros((nb, 1, LANE), np.float32)
+            self.ln2_b = np.zeros((nb, 1, LANE), np.float32)
+            self.ch_w1 = np.zeros((nb, LANE, LANE), np.float32)
+            self.ch_b1 = np.zeros((nb, 1, LANE), np.float32)
+            self.ch_w2 = np.zeros((nb, LANE, LANE), np.float32)
+            self.ch_A = np.zeros((nb, Tp, LANE), np.float32)
+            self.ch_P = np.zeros((nb, Tp, LANE), np.float32)
         if self.use_se:
             self.se_w1 = stack2(lambda b: _pad2(b["se"]["fc1"]["kernel"], Tp, Tp), Tp, Tp)
             self.se_w2 = stack2(lambda b: _pad2(b["se"]["fc2"]["kernel"], Tp, Tp), Tp, Tp)
@@ -194,6 +213,7 @@ class FusedMlpMixer:
             T=self.T, H=self.H, P=self.P, Tp=self.Tp, Pp=self.Pp,
             num_blocks=self.num_blocks, use_se=self.use_se,
             use_max=self.use_max_pooling, activation=self.activation,
+            block_type=self.block_type,
         )
 
         def _const_map(nd):
@@ -260,7 +280,7 @@ def _mixer_kernel(
     ln2_g, ln2_b, ch_w1, ch_b1, ch_w2, ch_A, ch_P,
     g_ln, b_ln, w_time, b_time, w_out, b_out,
     out_ref,
-    *, T, H, P, Tp, Pp, num_blocks, use_se, use_max, activation,
+    *, T, H, P, Tp, Pp, num_blocks, use_se, use_max, activation, block_type,
 ):
     bb = x_ref.shape[0]
     f32 = jnp.float32
@@ -309,17 +329,26 @@ def _mixer_kernel(
     y = jnp.where(h_mask & t_mask, y, 0.0)
 
     for i in range(num_blocks):
-        # token mixing (BN folded into tok_A/tok_P, see module docstring)
-        z = layer_norm(y, ln1_g[i], ln1_b[i])
-        zt = jnp.swapaxes(z, 1, 2)  # (bb, LANE, Tp)
-        h1 = _act(activation, mm_lastdim(zt, tok_w1[i], tok_b1[i]))
-        h2 = mm_lastdim(h1, tok_w2[i])
-        z = jnp.swapaxes(h2, 1, 2)  # (bb, Tp, LANE)
-        z = z * tok_A[i][:, None, :] + tok_P[i][None]
-        z = jnp.where(h_mask & t_mask, z, 0.0)
-        if use_se:
-            z = se_gate(i, z)
-        y = y + z
+        if block_type in ("normal", "token_only"):
+            # token mixing (BN folded into tok_A/tok_P, see module docstring)
+            z = layer_norm(y, ln1_g[i], ln1_b[i])
+            zt = jnp.swapaxes(z, 1, 2)  # (bb, LANE, Tp)
+            h1 = _act(activation, mm_lastdim(zt, tok_w1[i], tok_b1[i]))
+            h2 = mm_lastdim(h1, tok_w2[i])
+            z = jnp.swapaxes(h2, 1, 2)  # (bb, Tp, LANE)
+            z = z * tok_A[i][:, None, :] + tok_P[i][None]
+            z = jnp.where(h_mask & t_mask, z, 0.0)
+            if use_se:
+                z = se_gate(i, z)
+            y = y + z
+            if block_type == "token_only":
+                # double-residual quirk: x + 2*se(token_mix(LN(x)))
+                # (mlp_mixer.py:234-236)
+                y = y + z
+                continue
+        else:
+            # channel_only leading residual x + se(x) (mlp_mixer.py:190-192)
+            y = y + (se_gate(i, y) if use_se else y)
 
         # channel mixing (BN folded into ch_A/ch_P)
         z = layer_norm(y, ln2_g[i], ln2_b[i])

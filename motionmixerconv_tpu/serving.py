@@ -28,10 +28,11 @@ class Predictor:
         model: flax module ((B, input_n, D) -> (B, output_n, D)).
         variables: model variables ({'params': ...}).
         use_fused: try the fused Pallas kernel for small batches. Covered:
-            MlpMixer with mlp_block_type='normal' and ConvMixer with
-            conv_nChan * in_nTP <= 128 — each incl. BatchNorm and avg/max
-            SE configs. Unsupported shapes fall back to the jitted flax
-            forward with a visible warning (``fused_fallback_reason``).
+            every MlpMixer (normal/channel_only/token_only block types) and
+            ConvMixer with conv_nChan * in_nTP <= 128 — each incl. BatchNorm
+            and avg/max SE configs. Unsupported shapes fall back to the
+            jitted flax forward with a visible warning
+            (``fused_fallback_reason``).
         fused_max_batch: largest batch routed to the fused kernel.
     """
 

@@ -21,12 +21,13 @@ def _warm_bn(model, variables, x, steps=3):
 
 def _case(activation, use_se, num_blocks=2, hidden=50, tok=20, ch=50,
           seq=10, pred=25, dim=66, r_se=4, regularization=0.1,
-          use_max_pooling=False):
+          use_max_pooling=False, mlp_block_type="normal"):
     model = MlpMixer(
         num_classes=dim, num_blocks=num_blocks, hidden_dim=hidden,
         tokens_mlp_dim=tok, channels_mlp_dim=ch, seq_len=seq, pred_len=pred,
         activation=activation, regularization=regularization, input_size=dim,
         r_se=r_se, use_se=use_se, use_max_pooling=use_max_pooling,
+        mlp_block_type=mlp_block_type,
     )
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.randn(37, seq, dim).astype(np.float32) * 0.5)
@@ -82,16 +83,22 @@ def test_fused_max_pool_se():
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
-def test_variant_block_types_rejected():
-    """channel_only / token_only variants have a different parameter tree;
-    the fused kernel must refuse them, not KeyError mid-build."""
-    for bt in ("channel_only", "token_only"):
-        model = MlpMixer(
-            num_classes=48, num_blocks=1, hidden_dim=60, tokens_mlp_dim=40,
-            channels_mlp_dim=60, seq_len=10, pred_len=10, activation="gelu",
-            regularization=0.1, input_size=48, use_se=True,
-            mlp_block_type=bt,
-        )
-        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 48)))
-        with pytest.raises(NotImplementedError):
-            FusedMlpMixer(model, variables)
+@pytest.mark.parametrize("block_type", ["channel_only", "token_only"])
+@pytest.mark.parametrize("use_se", [True, False])
+def test_fused_variant_block_types(block_type, use_se):
+    """channel_only / token_only variants (mlp_mixer.py:166-236), incl.
+    their residual quirks (x + se(x) lead-in; x + 2y double residual)."""
+    fused, x, want = _case("gelu", use_se, mlp_block_type=block_type)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_fused_variant_block_types_bn():
+    fused, x, want = _case("mish", True, mlp_block_type="channel_only",
+                           regularization=-1.0)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    fused, x, want = _case("gelu", True, mlp_block_type="token_only",
+                           regularization=-1.0, use_max_pooling=True)
+    got = fused(x, block_b=8, interpret=True)
+    np.testing.assert_allclose(got, want, atol=2e-4)
