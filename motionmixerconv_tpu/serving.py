@@ -34,12 +34,24 @@ class Predictor:
             jitted flax forward with a visible warning
             (``fused_fallback_reason``).
         fused_max_batch: largest batch routed to the fused kernel.
+        mesh: optional ``jax.sharding.Mesh`` — bulk batches shard over its
+            'data' axis (parameters replicated), scaling throughput across
+            chips over ICI; batches within ``fused_max_batch`` still take
+            the single-chip fused kernel (latency path).
     """
 
     def __init__(self, model, variables: dict, *, use_fused: bool = True,
-                 fused_max_batch: int = 128):
+                 fused_max_batch: int = 128, mesh=None):
         self.model = model
-        self.variables = jax.device_put(variables)
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import batch_sharding, replicated_sharding
+
+            self.variables = jax.device_put(variables, replicated_sharding(mesh))
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            self.variables = jax.device_put(variables)
+            self._batch_sharding = None
         self.fused_max_batch = fused_max_batch
         self._plain = jax.jit(
             lambda v, x: self.model.apply(v, x, training=False)
@@ -90,9 +102,21 @@ class Predictor:
 
     def predict(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, input_n, D) -> (B, output_n, D)."""
-        if self._fused is not None and x.shape[0] <= self.fused_max_batch:
-            return self._fused(jnp.asarray(x))
-        return self._plain(self.variables, jnp.asarray(x))
+        x = jnp.asarray(x)
+        b = x.shape[0]
+        if self._fused is not None and b <= self.fused_max_batch:
+            return self._fused(x)
+        if self._batch_sharding is not None:
+            # bulk path: pad to a device multiple, shard over 'data'. The
+            # pad quantizes compile shapes to multiples of the mesh size.
+            n = int(self.mesh.devices.size)
+            bp = -(-b // n) * n
+            if bp != b:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((bp - b,) + x.shape[1:], x.dtype)])
+            x = jax.device_put(x, self._batch_sharding)
+            return self._plain(self.variables, x)[:b]
+        return self._plain(self.variables, x)
 
     @functools.cached_property
     def _rollout_step(self):

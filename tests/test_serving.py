@@ -37,6 +37,24 @@ def test_autoregressive_rollout_horizon():
     np.testing.assert_allclose(out[:, :5], direct, atol=1e-5)
 
 
+def test_mesh_sharded_bulk_predict():
+    """Bulk predictions shard over the mesh's data axis and match the
+    single-device path, including ragged (non-device-multiple) batches."""
+    from motionmixerconv_tpu.parallel import make_mesh
+
+    model, variables = _model_and_vars()
+    single = Predictor(model, variables)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest's virtual CPU devices
+    sharded = Predictor(model, variables, mesh=mesh, fused_max_batch=0)
+    for batch in (19, 64):
+        x = jnp.asarray(
+            np.random.RandomState(batch).randn(batch, 10, 66).astype(np.float32))
+        got = sharded.predict(x)
+        assert got.shape == (batch, 5, 66)
+        np.testing.assert_allclose(got, single.predict(x), atol=1e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from motionmixerconv_tpu.train.state import TrainState, save_checkpoint
 
