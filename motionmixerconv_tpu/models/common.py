@@ -7,7 +7,7 @@ training dynamics match the reference when training from scratch.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -36,14 +36,20 @@ def torch_bias_init(fan_in: int) -> Callable:
     return init
 
 
-def dense(features: int, fan_in: int, use_bias: bool = True, name: str | None = None):
-    """nn.Dense with torch-default initialisation."""
+def dense(features: int, fan_in: int, use_bias: bool = True,
+          name: str | None = None, dtype=None):
+    """nn.Dense with torch-default initialisation.
+
+    ``dtype`` is the flax computation dtype (params stay float32); pass
+    jnp.bfloat16 for mixed-precision compute on the MXU.
+    """
     return nn.Dense(
         features,
         use_bias=use_bias,
         kernel_init=torch_kernel_init,
         bias_init=torch_bias_init(fan_in),
         name=name,
+        dtype=dtype,
     )
 
 
@@ -54,6 +60,7 @@ def conv2d(
     padding,
     strides: Sequence[int] = (1, 1),
     name: str | None = None,
+    dtype=None,
 ):
     """nn.Conv (NHWC) with torch-default initialisation.
 
@@ -68,6 +75,7 @@ def conv2d(
         kernel_init=torch_kernel_init,
         bias_init=torch_bias_init(fan_in),
         name=name,
+        dtype=dtype,
     )
 
 
@@ -85,6 +93,7 @@ class Regularization(nn.Module):
 
     regularization: float = 0.0
     bn_axis: int = -1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
@@ -96,12 +105,14 @@ class Regularization(nn.Module):
                 axis=self.bn_axis,
                 momentum=0.9,
                 epsilon=1e-5,
+                dtype=self.dtype,
             )(x)
         return x
 
 
-def layer_norm(name: str | None = None, axis: int = -1):
+def layer_norm(name: str | None = None, axis: int = -1, dtype=None):
     """LayerNorm matching torch nn.LayerNorm(eps=1e-5) over one axis."""
     return nn.LayerNorm(
-        epsilon=1e-5, reduction_axes=axis, feature_axes=axis, name=name
+        epsilon=1e-5, reduction_axes=axis, feature_axes=axis, name=name,
+        dtype=dtype,
     )

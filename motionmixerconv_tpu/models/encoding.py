@@ -8,6 +8,8 @@ a Dense over a trailing singleton axis, no transposes.
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -28,14 +30,17 @@ class PoseEncoder(nn.Module):
     conv_nChan: int = 1
     n_harmonic_functions: int = 64
     omega0: float = 0.1
+    dtype: Optional[Any] = None
 
     def setup(self):
         if self.n_harmonic_functions <= 0:
             dim_harmonic = self.dimPosIn
         else:
             dim_harmonic = self.n_harmonic_functions * self.dimPosIn * 2
-        self.embed_mlp = dense(self.dimPosEmb, fan_in=dim_harmonic, name="embed_mlp")
-        self.channelUpscaling = dense(self.conv_nChan, fan_in=1, name="channelUpscaling")
+        self.embed_mlp = dense(self.dimPosEmb, fan_in=dim_harmonic,
+                               name="embed_mlp", dtype=self.dtype)
+        self.channelUpscaling = dense(self.conv_nChan, fan_in=1,
+                                      name="channelUpscaling", dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.n_harmonic_functions <= 0:

@@ -19,7 +19,7 @@ Replicated reference quirks (required for trained-checkpoint parity):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -49,10 +49,13 @@ class MultiChanSELayer(nn.Module):
     in_nTP: int
     r: int = 4
     use_max_pooling: bool = False
+    dtype: Optional[Any] = None
 
     def setup(self):
-        self.fc1 = dense(self.in_nTP // self.r, fan_in=self.in_nTP, use_bias=False, name="fc1")
-        self.fc2 = dense(self.in_nTP, fan_in=self.in_nTP // self.r, use_bias=False, name="fc2")
+        self.fc1 = dense(self.in_nTP // self.r, fan_in=self.in_nTP,
+                         use_bias=False, name="fc1", dtype=self.dtype)
+        self.fc2 = dense(self.in_nTP, fan_in=self.in_nTP // self.r,
+                         use_bias=False, name="fc2", dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.use_max_pooling:
@@ -78,6 +81,7 @@ class ConvBlock(nn.Module):
     padding: Pad = "same"
     activation: str = "gelu"
     regularization: float = 0.0
+    dtype: Optional[Any] = None
 
     def setup(self):
         kh, kw = self.kernel_shape
@@ -88,8 +92,10 @@ class ConvBlock(nn.Module):
             padding=_pad_arg(self.padding),
             strides=self.stride,
             name="conv",
+            dtype=self.dtype,
         )
-        self.reg = Regularization(self.regularization, bn_axis=-1, name="reg")
+        self.reg = Regularization(self.regularization, bn_axis=-1, name="reg",
+                                  dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         act = get_activation(self.activation)
@@ -117,6 +123,7 @@ class ConvMixerBlock(nn.Module):
     use_se: bool = True
     r_se: int = 4
     use_max_pooling: bool = False
+    dtype: Optional[Any] = None
 
     def setup(self):
         if self.mode_conv not in ("once", "twice"):
@@ -132,11 +139,13 @@ class ConvMixerBlock(nn.Module):
             padding=pad1,
             activation=self.activation,
             regularization=self.regularization,
+            dtype=self.dtype,
         )
         if self.use_se:
             # One instance for both branches (reference conv_mixer_model.py:257).
-            self.se = MultiChanSELayer(self.in_nTP, self.r_se, self.use_max_pooling)
-        self.LN1 = layer_norm(name="LN1", axis=-2)
+            self.se = MultiChanSELayer(self.in_nTP, self.r_se,
+                                       self.use_max_pooling, dtype=self.dtype)
+        self.LN1 = layer_norm(name="LN1", axis=-2, dtype=self.dtype)
 
         if self.mode_conv == "twice":
             k2 = self.conv2_kernel_shape or (
@@ -152,8 +161,9 @@ class ConvMixerBlock(nn.Module):
                 padding=pad2,
                 activation=self.activation,
                 regularization=self.regularization,
+                dtype=self.dtype,
             )
-            self.LN2 = layer_norm(name="LN2", axis=-2)
+            self.LN2 = layer_norm(name="LN2", axis=-2, dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         y = self.LN1(x)
@@ -201,6 +211,8 @@ class ConvMixer(nn.Module):
     use_max_pooling: bool = False
     encoder_n_harmonic_functions: int = 64
     encoder_omega0: float = 0.1
+    # computation dtype (params stay f32); jnp.bfloat16 = TPU mixed precision
+    dtype: Optional[Any] = None
 
     def setup(self):
         self.encoder = PoseEncoder(
@@ -209,6 +221,7 @@ class ConvMixer(nn.Module):
             conv_nChan=self.conv_nChan,
             n_harmonic_functions=self.encoder_n_harmonic_functions,
             omega0=self.encoder_omega0,
+            dtype=self.dtype,
         )
         self.Mixer_Block = [
             ConvMixerBlock(
@@ -227,15 +240,19 @@ class ConvMixer(nn.Module):
                 use_se=self.use_se,
                 r_se=self.r_se,
                 use_max_pooling=self.use_max_pooling,
+                dtype=self.dtype,
             )
             for _ in range(self.num_blocks)
         ]
-        self.LN = layer_norm(name="LN", axis=-2)
+        self.LN = layer_norm(name="LN", axis=-2, dtype=self.dtype)
         # Conv2d(in_nTP, out_nTP, k=1) over time-as-channels == Dense over T.
-        self.conv_out = dense(self.out_nTP, fan_in=self.in_nTP, name="conv_out")
+        self.conv_out = dense(self.out_nTP, fan_in=self.in_nTP, name="conv_out",
+                              dtype=self.dtype)
         # Conv2d(conv_nChan, 1, (1,1)) == Dense over the channel axis.
-        self.project_channels = dense(1, fan_in=self.conv_nChan, name="project_channels")
-        self.fc_out = dense(self.dimPosOut, fan_in=self.dimPosEmb, name="fc_out")
+        self.project_channels = dense(1, fan_in=self.conv_nChan,
+                                      name="project_channels", dtype=self.dtype)
+        self.fc_out = dense(self.dimPosOut, fan_in=self.dimPosEmb,
+                            name="fc_out", dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         y = self.encoder(x)  # (B, T, E, C)

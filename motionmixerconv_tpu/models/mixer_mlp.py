@@ -20,6 +20,8 @@ checkpoints map mechanically (see models/torch_io.py).
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -38,10 +40,13 @@ class SELayer(nn.Module):
     c: int
     r: int = 4
     use_max_pooling: bool = False
+    dtype: Optional[Any] = None
 
     def setup(self):
-        self.fc1 = dense(self.c // self.r, fan_in=self.c, use_bias=False, name="fc1")
-        self.fc2 = dense(self.c, fan_in=self.c // self.r, use_bias=False, name="fc2")
+        self.fc1 = dense(self.c // self.r, fan_in=self.c, use_bias=False,
+                         name="fc1", dtype=self.dtype)
+        self.fc2 = dense(self.c, fan_in=self.c // self.r, use_bias=False,
+                         name="fc2", dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = jnp.max(x, axis=-1) if self.use_max_pooling else jnp.mean(x, axis=-1)
@@ -62,12 +67,17 @@ class MlpBlock(nn.Module):
     bn_dim: int
     activation: str = "gelu"
     regularization: float = 0.0
+    dtype: Optional[Any] = None
 
     def setup(self):
-        self.fc1 = dense(self.hidden_dim, fan_in=self.input_dim, name="fc1")
-        self.fc2 = dense(self.input_dim, fan_in=self.hidden_dim, name="fc2")
-        self.reg1 = Regularization(self.regularization, bn_axis=1, name="reg1")
-        self.reg2 = Regularization(self.regularization, bn_axis=1, name="reg2")
+        self.fc1 = dense(self.hidden_dim, fan_in=self.input_dim, name="fc1",
+                         dtype=self.dtype)
+        self.fc2 = dense(self.input_dim, fan_in=self.hidden_dim, name="fc2",
+                         dtype=self.dtype)
+        self.reg1 = Regularization(self.regularization, bn_axis=1, name="reg1",
+                                   dtype=self.dtype)
+        self.reg2 = Regularization(self.regularization, bn_axis=1, name="reg2",
+                                   dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         act = get_activation(self.activation)
@@ -92,21 +102,23 @@ class MixerBlock(nn.Module):
     r_se: int = 4
     use_max_pooling: bool = False
     use_se: bool = True
+    dtype: Optional[Any] = None
 
     def setup(self):
         self.mlp_block_token_mixing = MlpBlock(
             self.tokens_mlp_dim, self.seq_len, self.hidden_dim,
-            self.activation, self.regularization,
+            self.activation, self.regularization, dtype=self.dtype,
         )
         self.mlp_block_channel_mixing = MlpBlock(
             self.channels_mlp_dim, self.hidden_dim, self.seq_len,
-            self.activation, self.regularization,
+            self.activation, self.regularization, dtype=self.dtype,
         )
         if self.use_se:
             # NOTE: a single instance serves both branches (reference quirk).
-            self.se = SELayer(self.seq_len, self.r_se, self.use_max_pooling)
-        self.LN1 = layer_norm(name="LN1")
-        self.LN2 = layer_norm(name="LN2")
+            self.se = SELayer(self.seq_len, self.r_se, self.use_max_pooling,
+                              dtype=self.dtype)
+        self.LN1 = layer_norm(name="LN1", dtype=self.dtype)
+        self.LN2 = layer_norm(name="LN2", dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         y = self.LN1(x)
@@ -139,15 +151,17 @@ class MixerBlockChannel(nn.Module):
     r_se: int = 4
     use_max_pooling: bool = False
     use_se: bool = True
+    dtype: Optional[Any] = None
 
     def setup(self):
         self.mlp_block_channel_mixing = MlpBlock(
             self.channels_mlp_dim, self.hidden_dim, self.seq_len,
-            self.activation, self.regularization,
+            self.activation, self.regularization, dtype=self.dtype,
         )
         if self.use_se:
-            self.se = SELayer(self.seq_len, self.r_se, self.use_max_pooling)
-        self.LN2 = layer_norm(name="LN2")
+            self.se = SELayer(self.seq_len, self.r_se, self.use_max_pooling,
+                              dtype=self.dtype)
+        self.LN2 = layer_norm(name="LN2", dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         y = self.se(x) if self.use_se else x
@@ -174,15 +188,17 @@ class MixerBlockToken(nn.Module):
     r_se: int = 4
     use_max_pooling: bool = False
     use_se: bool = True
+    dtype: Optional[Any] = None
 
     def setup(self):
         self.mlp_block_token_mixing = MlpBlock(
             self.tokens_mlp_dim, self.seq_len, self.hidden_dim,
-            self.activation, self.regularization,
+            self.activation, self.regularization, dtype=self.dtype,
         )
         if self.use_se:
-            self.se = SELayer(self.seq_len, self.r_se, self.use_max_pooling)
-        self.LN1 = layer_norm(name="LN1")
+            self.se = SELayer(self.seq_len, self.r_se, self.use_max_pooling,
+                              dtype=self.dtype)
+        self.LN1 = layer_norm(name="LN1", dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         y = self.LN1(x)
@@ -217,10 +233,13 @@ class MlpMixer(nn.Module):
     r_se: int = 4
     use_max_pooling: bool = False
     use_se: bool = False
+    # computation dtype (params stay f32); jnp.bfloat16 = TPU mixed precision
+    dtype: Optional[Any] = None
 
     def setup(self):
         # torch: Conv2d(1, hidden, (1, input_size)) == per-frame Linear.
-        self.conv = dense(self.hidden_dim, fan_in=self.input_size, name="conv")
+        self.conv = dense(self.hidden_dim, fan_in=self.input_size, name="conv",
+                          dtype=self.dtype)
         block_kwargs = dict(
             seq_len=self.seq_len,
             hidden_dim=self.hidden_dim,
@@ -229,6 +248,7 @@ class MlpMixer(nn.Module):
             r_se=self.r_se,
             use_max_pooling=self.use_max_pooling,
             use_se=self.use_se,
+            dtype=self.dtype,
         )
         if self.mlp_block_type == "channel_only":
             blocks = [
@@ -250,10 +270,12 @@ class MlpMixer(nn.Module):
                 for _ in range(self.num_blocks)
             ]
         self.Mixer_Block = blocks
-        self.LN = layer_norm(name="LN")
-        self.fc_out = dense(self.num_classes, fan_in=self.hidden_dim, name="fc_out")
+        self.LN = layer_norm(name="LN", dtype=self.dtype)
+        self.fc_out = dense(self.num_classes, fan_in=self.hidden_dim,
+                            name="fc_out", dtype=self.dtype)
         # torch: Conv1d(seq_len, pred_len, 1) == Dense over the time axis.
-        self.conv_out = dense(self.pred_len, fan_in=self.seq_len, name="conv_out")
+        self.conv_out = dense(self.pred_len, fan_in=self.seq_len,
+                              name="conv_out", dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         # (B, T, D) -> (B, T, H): pose embedding.

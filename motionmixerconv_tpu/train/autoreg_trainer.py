@@ -123,8 +123,10 @@ class AutoregressiveTrainer(Trainer):
                 out, _ = self.model.apply(
                     variables, x, training=True, mutable=["batch_stats"], **kwargs
                 )
-                return out
-            return self.model.apply(variables, x, training=training, **kwargs)
+                return out.astype(jnp.float32)
+            # f32 feedback + loss even under bf16 model compute
+            out = self.model.apply(variables, x, training=training, **kwargs)
+            return out.astype(jnp.float32)
 
         return autoregressive_rollout(
             apply_fn, seq,

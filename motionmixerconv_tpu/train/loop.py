@@ -182,10 +182,13 @@ class Trainer:
         if training and rng is not None:
             kwargs["rngs"] = {"dropout": rng}
         if mutable:
-            return self.model.apply(
+            out, updates = self.model.apply(
                 variables, model_in, training=training, mutable=["batch_stats"], **kwargs
             )
-        return self.model.apply(variables, model_in, training=training, **kwargs), None
+            return out.astype(jnp.float32), updates
+        out = self.model.apply(variables, model_in, training=training, **kwargs)
+        # losses/metrics accumulate in f32 even under bf16 model compute
+        return out.astype(jnp.float32), None
 
     # ------------------------------------------------------------ train step
 
@@ -209,6 +212,7 @@ class Trainer:
                     variables, model_in, training=True, rngs={"dropout": rng}
                 )
                 updates = {}
+            pred = pred.astype(jnp.float32)  # f32 loss under bf16 compute
             if self.delta_x:
                 pred = delta_2_gt(pred, last)
             if self.loss_type == "mpjpe":

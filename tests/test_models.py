@@ -147,3 +147,39 @@ def test_dropout_active_in_training_mode():
     e1 = model.apply(variables, x, training=False)
     e2 = model.apply(variables, x, training=False)
     np.testing.assert_array_equal(e1, e2)
+
+
+def test_bfloat16_compute_dtype():
+    """dtype=jnp.bfloat16 runs the whole forward in bf16 (params stay f32,
+    so checkpoints are dtype-agnostic) and stays within bf16 tolerance of
+    the f32 forward. Trainer losses/metrics cast back to f32."""
+    import jax
+
+    kw = dict(
+        num_blocks=2, dimPosIn=66, dimPosEmb=50, dimPosOut=66, in_nTP=10,
+        out_nTP=25, conv_nChan=1, conv1_kernel_shape=(1, 3),
+        conv1_stride=(1, 1), conv1_padding=(0, 1), mode_conv="twice",
+        activation="mish", regularization=0.1, use_se=True, r_se=8,
+        encoder_n_harmonic_functions=8, encoder_omega0=0.1,
+    )
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(6, 10, 66).astype(np.float32) * 0.5)
+    m32, m16 = ConvMixer(**kw), ConvMixer(**kw, dtype=jnp.bfloat16)
+    variables = m32.init(jax.random.PRNGKey(0), x, training=False)
+    # params are f32 regardless of compute dtype
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(variables["params"]))
+    y32 = m32.apply(variables, x, training=False)
+    y16 = m16.apply(variables, x, training=False)
+    assert y16.dtype == jnp.bfloat16
+    rel = np.abs(np.asarray(y16, np.float32) - y32).max() / np.abs(y32).max()
+    assert rel < 0.05
+
+    mlp = MlpMixer(
+        num_classes=54, num_blocks=2, hidden_dim=64, tokens_mlp_dim=20,
+        channels_mlp_dim=64, seq_len=10, pred_len=25, activation="gelu",
+        regularization=0.1, input_size=54, use_se=True, dtype=jnp.bfloat16,
+    )
+    x54 = jnp.asarray(rs.randn(6, 10, 54).astype(np.float32) * 0.5)
+    vm = mlp.init(jax.random.PRNGKey(1), x54, training=False)
+    assert mlp.apply(vm, x54, training=False).dtype == jnp.bfloat16
