@@ -1,0 +1,333 @@
+"""Production serving: dynamic micro-batching server around a Predictor.
+
+The reference has no serving path at all; this is the deployment-side
+complement to ``serving.Predictor``. The TPU wants few, large dispatches, so
+concurrent client requests are coalesced by a single batcher thread: requests
+queue up, the batcher drains up to ``max_batch`` rows (waiting at most
+``max_wait_ms`` for stragglers), pads them into ONE ``Predictor.predict``
+call — which routes to the fused Pallas kernel at small batches and the
+sharded/XLA bulk path at large ones — and scatters results back to the
+waiting clients. One device dispatch per micro-batch instead of one per
+request.
+
+Transport is a dependency-free ``ThreadingHTTPServer``:
+
+- ``POST /predict``                 {"inputs": [[[...]...]]}  (B, T, D)
+- ``POST /predict_autoregressive``  {"inputs": ..., "horizon": N}
+- ``GET  /healthz``                 liveness + device info
+- ``GET  /stats``                   requests/batches/mean batch size/latency
+
+Programmatic use: ``BatchingPredictor`` wraps any Predictor with the same
+coalescing for in-process multi-threaded callers.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class _Pending:
+    x: np.ndarray                       # (b_i, T, D)
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[Exception] = None
+
+
+class BatchingPredictor:
+    """Coalesces concurrent ``predict`` calls into single device dispatches.
+
+    Thread-safe; ``predict`` blocks until the batcher has served the request.
+    ``max_batch`` bounds rows per dispatch (stays within the Predictor's
+    fused-kernel window by default); ``max_wait_ms`` is the straggler window
+    once at least one request is pending.
+
+    Coalesced batches are zero-padded up to fixed power-of-two **buckets**
+    (8, 16, ..., max_batch): XLA compiles one executable per bucket instead
+    of one per observed batch size — essential on TPU, where an unseen shape
+    costs a full jit compile mid-request. ``warmup(input_shape)`` compiles
+    every bucket up front so no client ever waits on the compiler.
+    """
+
+    def __init__(self, predictor, *, max_batch: int = 128,
+                 max_wait_ms: float = 2.0):
+        self._predictor = predictor
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.buckets = []
+        b = 8
+        while b < max_batch:
+            self.buckets.append(b)
+            b *= 2
+        self.buckets.append(max_batch)
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self.n_requests = 0
+        self.n_rows = 0
+        self.n_batches = 0
+        self.bucket_counts: dict = {}
+        self.latency_sum = 0.0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- client API
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        """(b, T, D) -> (b, P, D); blocks until served (coalesced)."""
+        t0 = time.perf_counter()
+        item = _Pending(np.asarray(x, np.float32))
+        self._queue.put(item)
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        with self._stats_lock:
+            self.n_requests += 1
+            self.n_rows += item.x.shape[0]
+            self.latency_sum += time.perf_counter() - t0
+        return item.result
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            n = max(self.n_requests, 1)
+            return {
+                "requests": self.n_requests,
+                "rows": self.n_rows,
+                "batches": self.n_batches,
+                "mean_batch_rows": self.n_rows / max(self.n_batches, 1),
+                "bucket_counts": dict(self.bucket_counts),
+                "mean_latency_ms": self.latency_sum / n * 1e3,
+            }
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+
+    def _bucketed(self, rows: int) -> int:
+        for b in self.buckets:
+            if rows <= b:
+                return b
+        return rows  # above max_batch (single oversize request): exact shape
+
+    def warmup(self, input_shape) -> None:
+        """Compile every bucket before serving ((T, D) per-row shape)."""
+        for b in self.buckets:
+            x = np.zeros((b,) + tuple(input_shape), np.float32)
+            np.asarray(self._predictor.predict(x))
+
+    # ---------------------------------------------------------------- batcher
+
+    def _drain(self) -> list:
+        """Block for one request, then sweep stragglers up to max_batch."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        items, rows = [first], first.x.shape[0]
+        deadline = time.perf_counter() + self.max_wait
+        while rows < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            items.append(nxt)
+            rows += nxt.x.shape[0]
+        return items
+
+    def _loop(self):
+        while not self._stop.is_set():
+            items = self._drain()
+            if not items:
+                continue
+            bucket = 0
+            try:
+                x = np.concatenate([it.x for it in items], axis=0)
+                bucket = self._bucketed(x.shape[0])
+                if bucket > x.shape[0]:
+                    pad = np.zeros((bucket - x.shape[0],) + x.shape[1:],
+                                   x.dtype)
+                    x = np.concatenate([x, pad], axis=0)
+                out = np.asarray(self._predictor.predict(x))
+                off = 0
+                for it in items:
+                    it.result = out[off : off + it.x.shape[0]]
+                    off += it.x.shape[0]
+            except Exception as e:  # propagate to every waiter in the batch
+                for it in items:
+                    it.error = e
+            finally:
+                with self._stats_lock:
+                    self.n_batches += 1
+                    self.bucket_counts[bucket] = \
+                        self.bucket_counts.get(bucket, 0) + 1
+                for it in items:
+                    it.event.set()
+
+
+def make_handler(batcher: BatchingPredictor, predictor):
+    """HTTP handler bound to a batcher (predict) + raw predictor (rollout)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; stats live at /stats
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                self._send(200, {"status": "ok",
+                                 "backend": jax.default_backend(),
+                                 "n_devices": jax.device_count()})
+            elif self.path == "/stats":
+                self._send(200, batcher.stats())
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                x = np.asarray(req["inputs"], np.float32)
+                if x.ndim != 3:
+                    raise ValueError(f"inputs must be (B, T, D), got {x.shape}")
+                if self.path == "/predict":
+                    out = batcher.predict(x)
+                elif self.path == "/predict_autoregressive":
+                    out = np.asarray(predictor.predict_autoregressive(
+                        x, horizon=int(req["horizon"]),
+                        step_window=req.get("step_window")))
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+                    return
+                self._send(200, {"outputs": out.tolist()})
+            except Exception as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+class PredictionServer:
+    """HTTP wrapper: serve_forever in the caller's thread or background."""
+
+    def __init__(self, predictor, host: str = "127.0.0.1", port: int = 8476,
+                 *, max_batch: int = 128, max_wait_ms: float = 2.0,
+                 warmup: bool = False):
+        self.batcher = BatchingPredictor(
+            predictor, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        if warmup:
+            m = predictor.model
+            in_n = getattr(m, "seq_len", None) or m.in_nTP
+            dim = getattr(m, "input_size", None) or m.dimPosIn
+            self.batcher.warmup((in_n, dim))
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(self.batcher, predictor))
+        self.port = self.httpd.server_address[1]
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.close()
+
+
+def main(argv: Optional[list] = None) -> None:
+    """CLI: serve a checkpoint. Model flags mirror the reference defaults."""
+    import argparse
+
+    import jax
+
+    ap = argparse.ArgumentParser(description="Serve a trained model over HTTP "
+                                             "with dynamic micro-batching.")
+    ap.add_argument("--model_path", required=True,
+                    help=".ckpt (native) or .pt (reference torch state_dict)")
+    ap.add_argument("--arch", choices=["conv", "mlp"], default="conv")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8476)
+    ap.add_argument("--max_batch", type=int, default=128)
+    ap.add_argument("--max_wait_ms", type=float, default=2.0)
+    # shape flags (reference CLI defaults, train_mixer_h36m.py:575-595 /
+    # train_mixer_amass.py:235-246)
+    ap.add_argument("--input_n", type=int, default=10)
+    ap.add_argument("--output_n", type=int, default=25)
+    ap.add_argument("--pose_dim", type=int, default=66)
+    ap.add_argument("--num_blocks", type=int, default=4)
+    ap.add_argument("--hidden_dim", type=int, default=50)
+    ap.add_argument("--conv_nChan", type=int, default=1)
+    ap.add_argument("--kernel_x", type=int, default=1)
+    ap.add_argument("--kernel_y", type=int, default=3)
+    ap.add_argument("--tokens_mlp_dim", type=int, default=20)
+    ap.add_argument("--channels_mlp_dim", type=int, default=128)
+    ap.add_argument("--activation", default="mish")
+    ap.add_argument("--n_harmonic_functions", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    from .serving import Predictor
+
+    if args.arch == "conv":
+        from .models import ConvMixer
+
+        model = ConvMixer(
+            num_blocks=args.num_blocks, dimPosIn=args.pose_dim,
+            dimPosEmb=args.hidden_dim, dimPosOut=args.pose_dim,
+            in_nTP=args.input_n, out_nTP=args.output_n,
+            conv_nChan=args.conv_nChan,
+            conv1_kernel_shape=(args.kernel_x, args.kernel_y),
+            conv1_stride=(1, 1), conv1_padding=(0, 1), mode_conv="twice",
+            activation=args.activation, regularization=0.1, use_se=True,
+            r_se=8, encoder_n_harmonic_functions=args.n_harmonic_functions,
+            encoder_omega0=0.1,
+        )
+    else:
+        from .models import MlpMixer
+
+        model = MlpMixer(
+            num_classes=args.pose_dim, num_blocks=args.num_blocks,
+            hidden_dim=args.hidden_dim, tokens_mlp_dim=args.tokens_mlp_dim,
+            channels_mlp_dim=args.channels_mlp_dim, seq_len=args.input_n,
+            pred_len=args.output_n, activation="gelu", regularization=0.1,
+            input_size=args.pose_dim, r_se=8, use_se=True,
+        )
+    predictor = Predictor.from_checkpoint(
+        model, args.model_path,
+        sample_shape=(1, args.input_n, args.pose_dim))
+    print("warming up (compiling every batch bucket)...", flush=True)
+    server = PredictionServer(predictor, args.host, args.port,
+                              max_batch=args.max_batch,
+                              max_wait_ms=args.max_wait_ms, warmup=True)
+    print(f"serving {args.arch} model on http://{args.host}:{server.port} "
+          f"(backend={jax.default_backend()}, max_batch={args.max_batch}, "
+          f"buckets={server.batcher.buckets})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

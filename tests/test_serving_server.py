@@ -1,0 +1,116 @@
+"""Dynamic micro-batching server: coalescing, correctness, HTTP surface."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionmixerconv_tpu.models import MlpMixer
+from motionmixerconv_tpu.serving import Predictor
+from motionmixerconv_tpu.serving_server import BatchingPredictor, PredictionServer
+
+
+def _predictor(pred_len=5):
+    model = MlpMixer(
+        num_classes=66, num_blocks=1, hidden_dim=24, tokens_mlp_dim=8,
+        channels_mlp_dim=24, seq_len=10, pred_len=pred_len, activation="gelu",
+        regularization=0.0, input_size=66, use_se=True,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 66)))
+    return Predictor(model, variables)
+
+
+def test_batching_predictor_coalesces_and_matches():
+    p = _predictor()
+    b = BatchingPredictor(p, max_batch=64, max_wait_ms=30.0)
+    rs = np.random.RandomState(0)
+    xs = [rs.randn(3, 10, 66).astype(np.float32) for _ in range(12)]
+    want = [np.asarray(p.predict(x)) for x in xs]
+
+    results = [None] * len(xs)
+
+    def worker(i):
+        results[i] = b.predict(xs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(xs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for got, exp in zip(results, want):
+        np.testing.assert_allclose(got, exp, atol=1e-5)
+
+    s = b.stats()
+    assert s["requests"] == 12 and s["rows"] == 36
+    # concurrent requests coalesced into fewer device dispatches
+    assert s["batches"] < s["requests"]
+    assert s["mean_batch_rows"] > 3.0
+    # every dispatch used a fixed compile bucket (8, 16, 32, 64)
+    assert all(k in (8, 16, 32, 64) for k in s["bucket_counts"])
+    b.close()
+
+
+def test_bucket_warmup():
+    p = _predictor()
+    b = BatchingPredictor(p, max_batch=32, max_wait_ms=1.0)
+    assert b.buckets == [8, 16, 32]
+    b.warmup((10, 66))  # compiles every bucket without error
+    out = b.predict(np.zeros((5, 10, 66), np.float32))
+    assert out.shape == (5, 5, 66)
+    assert 8 in b.stats()["bucket_counts"]
+    b.close()
+
+
+def test_batching_predictor_propagates_errors():
+    p = _predictor()
+    b = BatchingPredictor(p, max_batch=8, max_wait_ms=1.0)
+    try:
+        b.predict(np.zeros((1, 9, 66), np.float32))  # wrong T -> apply fails
+        raise AssertionError("expected an error")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # any backend error is fine; the point is it surfaced
+    # the batcher thread survived and still serves
+    out = b.predict(np.zeros((2, 10, 66), np.float32))
+    assert out.shape == (2, 5, 66)
+    b.close()
+
+
+def test_http_server_roundtrip():
+    p = _predictor()
+    server = PredictionServer(p, port=0, max_wait_ms=5.0)
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["n_devices"] >= 1
+
+        rs = np.random.RandomState(1)
+        x = rs.randn(4, 10, 66).astype(np.float32)
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"inputs": x.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = np.asarray(json.loads(r.read())["outputs"], np.float32)
+        np.testing.assert_allclose(out, np.asarray(p.predict(x)), atol=1e-4)
+
+        req = urllib.request.Request(
+            f"{base}/predict_autoregressive",
+            data=json.dumps({"inputs": x.tolist(), "horizon": 12}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = np.asarray(json.loads(r.read())["outputs"], np.float32)
+        assert out.shape == (4, 12, 66)
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 1
+    finally:
+        server.close()
