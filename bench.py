@@ -62,12 +62,12 @@ MLP_KW = dict(  # AMASS CLI defaults (train_mixer_amass.py:235-246)
     activation="gelu", regularization=0.1, input_size=54, r_se=8,
     use_se=True,
 )
-AR_KW = dict(  # autoregressive CLI defaults (train_autoreg_mixer_h36m.py)
-    num_blocks=4, dimPosIn=POSE_DIM, dimPosEmb=50, dimPosOut=POSE_DIM,
-    in_nTP=INPUT_N, out_nTP=5, conv_nChan=1, conv1_kernel_shape=(1, 3),
-    conv1_stride=(1, 1), conv1_padding=(0, 1), mode_conv="twice",
-    activation="mish", regularization=0.1, use_se=True, r_se=8,
-    use_max_pooling=False, encoder_n_harmonic_functions=8,
+AR_KW = dict(  # autoregressive CLI defaults (train_autoreg_mixer_h36m.py:486-548)
+    num_blocks=4, dimPosIn=POSE_DIM, dimPosEmb=192, dimPosOut=POSE_DIM,
+    in_nTP=INPUT_N, out_nTP=5, conv_nChan=8, conv1_kernel_shape=(5, 5),
+    conv1_stride=(1, 1), conv1_padding=None, mode_conv="twice",
+    activation="mish", regularization=-1.0, use_se=True, r_se=8,
+    use_max_pooling=False, encoder_n_harmonic_functions=0,
     encoder_omega0=0.1,
 )
 MC_KW = dict(  # the ConvMixer study's fixed shape (sweep/conv_study.py:61-65)

@@ -355,7 +355,8 @@ def run_h36m(args, model=None, model_name: Optional[str] = None,
     return history, state, trainer
 
 
-def run_h36m_autoregressive(args, model=None, model_name: Optional[str] = None):
+def run_h36m_autoregressive(args, model=None, model_name: Optional[str] = None,
+                            init_variables=None):
     """Autoregressive H36M training (train_autoreg_mixer_h36m.py:49-192)."""
     mode = "xyz" if args.loss_type == "mpjpe" else "angle"
     dim_used = H36M_DIM_USED_XYZ if mode == "xyz" else H36M_DIM_USED_ANGLE
@@ -393,6 +394,7 @@ def run_h36m_autoregressive(args, model=None, model_name: Optional[str] = None):
         step_window=args.step_window,
     )
     state = trainer.init_state(jax.random.PRNGKey(getattr(args, "seed", 0)))
+    state = _apply_init_variables(trainer, state, init_variables)
     print(f"total number of parameters of the network is: {param_count(state)}")
 
     frames = jnp.asarray(dataset.frames)

@@ -25,12 +25,15 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--input_n_model", type=int, default=10)
     parser.add_argument("--output_n_model", type=int, default=5)
     parser.add_argument("--step_window", type=int, default=5)
-    parser.add_argument("--n_epochs_teacher_forcing", type=int, default=10)
+    # the reference CLI never defines this flag (train_autoreg_mixer_h36m.py
+    # crashes at :122 when run directly); the Optuna driver's default is 5
+    # (conv_optuna_autoregressive.py:73), adopted here so the CLI works.
+    parser.add_argument("--n_epochs_teacher_forcing", type=int, default=5)
     parser.add_argument("--skip_rate", type=int, default=1, choices=[1, 5])
     parser.add_argument("--num_worker", default=4, type=int)
     parser.add_argument("--activation", default="mish", type=str)
     parser.add_argument("--r_se", default=8, type=int)
-    parser.add_argument("--n_epochs", default=2, type=int)
+    parser.add_argument("--n_epochs", default=50, type=int)
     parser.add_argument("--batch_size", default=50, type=int)
     parser.add_argument("--dev", default="tpu", type=str)
     parser.add_argument("--use_scheduler", default=True,
@@ -39,7 +42,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--gamma", type=float, default=0.1)
     parser.add_argument("--clip_grad", type=float, default=None)
     parser.add_argument("--actions_to_consider", default="all")
-    parser.add_argument("--batch_size_test", type=int, default=256)
+    parser.add_argument("--batch_size_test", type=int, default=50)
     parser.add_argument("--loss_type", type=str, default="mpjpe",
                         choices=["mpjpe", "angle"])
     parser.add_argument("--encoder_n_harmonic_functions", type=int, default=0,
@@ -52,19 +55,22 @@ def parse_args(argv=None) -> argparse.Namespace:
 
     args, _ = parser.parse_known_args(argv)
     stage2 = argparse.ArgumentParser(parents=[parser])
+    # stage-2 defaults mirror train_autoreg_mixer_h36m.py:486-510; the
+    # reference feeds channels_mlp_dim into ConvMixer's conv_nChan (:541)
     if args.loss_type == "mpjpe":
-        stage2.add_argument("--hidden_dim", default=50, type=int)
+        stage2.add_argument("--hidden_dim", default=192, type=int)
         stage2.add_argument("--num_blocks", default=4, type=int)
-        stage2.add_argument("--regularization", default=0.1, type=float)
+        stage2.add_argument("--regularization", default=-1.0, type=float)
         stage2.add_argument("--pose_dim", default=66, type=int)
         stage2.add_argument("--lr", default=0.001, type=float)
+        stage2.add_argument("--conv_nChan", default=8, type=int)
     else:
         stage2.add_argument("--hidden_dim", default=60, type=int)
         stage2.add_argument("--num_blocks", default=3, type=int)
         stage2.add_argument("--regularization", default=0.0, type=float)
         stage2.add_argument("--pose_dim", default=48, type=int)
         stage2.add_argument("--lr", default=1e-2, type=float)
-    stage2.add_argument("--conv_nChan", default=1, type=int)
+        stage2.add_argument("--conv_nChan", default=60, type=int)
     stage2.add_argument("--kernel1_x", default=5, type=int,
                         help="conv1 kernel over time (reference autoreg uses (5,5))")
     stage2.add_argument("--kernel1_y", default=5, type=int)

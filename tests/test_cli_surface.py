@@ -57,6 +57,19 @@ def test_autoreg_defaults():
     assert a.encoder_n_harmonic_functions == 0
     # autoreg CLI uses (5,5) conv kernels (train_autoreg_mixer_h36m.py:528-548)
     assert (a.kernel1_x, a.kernel1_y) == (5, 5)
+    # stage-2 mpjpe defaults (train_autoreg_mixer_h36m.py:486-494);
+    # channels_mlp_dim=8 feeds ConvMixer's conv_nChan (:541)
+    assert (a.hidden_dim, a.num_blocks, a.conv_nChan) == (192, 4, 8)
+    assert a.regularization == -1.0 and a.pose_dim == 66 and a.lr == 0.001
+    assert a.n_epochs == 50 and a.batch_size_test == 50
+    # reference CLI never defines the TF flag (crashes at :122); the Optuna
+    # driver default is 5 (conv_optuna_autoregressive.py:73)
+    assert a.n_epochs_teacher_forcing == 5
+
+    b = train_autoreg_mixer_h36m.parse_args(["--loss_type", "angle"])
+    # stage-2 angle defaults (train_autoreg_mixer_h36m.py:497-507)
+    assert (b.hidden_dim, b.num_blocks, b.conv_nChan) == (60, 3, 60)
+    assert b.regularization == 0.0 and b.pose_dim == 48 and b.lr == 1e-2
 
 
 def test_ais_autoreg_defaults():

@@ -62,6 +62,17 @@ AMASS_CFG = dict(
     num_blocks=5, hidden_dim=128, tokens_mlp_dim=20, channels_mlp_dim=128,
     activation="gelu", regularization=0.1, r_se=8,
 )
+AR_CFG = dict(
+    n_epochs=12, n_epochs_teacher_forcing=6, milestones=[9], gamma=0.1,
+    batch_size=50, batch_size_test=256, lr=1e-3, skip_rate=5,
+    input_n_dataset=10, output_n_dataset=25, input_n_model=10,
+    output_n_model=5, step_window=5, torch_seed=102,
+    # autoregressive ConvMixer at the reference autoreg CLI defaults
+    # (train_autoreg_mixer_h36m.py:486-548): hidden 192, 8 conv channels,
+    # (5,5) kernels, BatchNorm regularization (-1), no harmonic encoding
+    num_blocks=4, hidden_dim=192, conv_nChan=8, k1=(5, 5),
+    activation="mish", regularization=-1.0, r_se=8,
+)
 SEED_STUDY_EPOCHS = 6
 TORCH_SEEDS = (0, 1, 2, 3)
 JAX_SEEDS = (0, 1, 2, 3)
@@ -271,6 +282,58 @@ def torch_amass(data_dir, work):
         os.path.isdir, os.listdir, np.load = real
 
 
+def torch_h36m_autoreg(data_dir, work):
+    """Run the reference's OWN train_autoregressive
+    (train_autoreg_mixer_h36m.py:49-192): teacher forcing for the first
+    n_epochs_teacher_forcing epochs, closed-loop rollouts after, per-epoch
+    test_mpjpe_autoregressive over all actions."""
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    _ref_paths()
+    from h36m import train_autoreg_mixer_h36m as ref_ar
+    from h36m.conv_mixer_model import ConvMixer as RefConvMixer
+
+    c = AR_CFG
+    torch.manual_seed(c["torch_seed"])
+    model = RefConvMixer(
+        num_blocks=c["num_blocks"], dimPosIn=66, dimPosEmb=c["hidden_dim"],
+        dimPosOut=66, in_nTP=c["input_n_model"], out_nTP=c["output_n_model"],
+        conv_nChan=c["conv_nChan"], conv1_kernel_shape=c["k1"],
+        mode_conv="twice", activation=c["activation"],
+        regularization=c["regularization"], use_se=True, r_se=c["r_se"],
+        use_max_pooling=False,
+        encoder_n_harmonic_functions=0, encoder_omega0=0.1,
+    )
+    init_sd = {f"ar::{k}": v.detach().clone().numpy()
+               for k, v in model.state_dict().items()}
+    args = argparse.Namespace(
+        data_dir=data_dir, save_path=os.path.join(work, "torch_ar"),
+        input_n_dataset=c["input_n_dataset"],
+        output_n_dataset=c["output_n_dataset"],
+        input_n_model=c["input_n_model"], output_n_model=c["output_n_model"],
+        step_window=c["step_window"],
+        n_epochs_teacher_forcing=c["n_epochs_teacher_forcing"],
+        skip_rate=c["skip_rate"], num_worker=0, dev="cpu",
+        n_epochs=c["n_epochs"], batch_size=c["batch_size"],
+        batch_size_test=c["batch_size_test"], lr=c["lr"], use_scheduler=True,
+        milestones=c["milestones"], gamma=c["gamma"], clip_grad=None,
+        loss_type="mpjpe", actions_to_consider="all",
+    )
+    t0 = time.time()
+    train_loss, val_loss, test_loss, metrics = ref_ar.train_autoregressive(
+        model, "parity_ar", args)
+    return {
+        "train_per_epoch": [float(x) for x in train_loss],
+        "val_per_epoch": [float(x) for x in val_loss],
+        "test_per_epoch": [float(x) for x in test_loss],
+        "train": float(train_loss[-1]), "val": float(val_loss[-1]),
+        "test_mpjpe": float(test_loss[-1]),
+        "test_auc_pck": float(metrics["auc_pck"][-1]),
+        "wall_s": time.time() - t0,
+    }, init_sd
+
+
 def torch_h36m_seed_study(data_dir):
     """Short independent-init torch runs (dropout off for comparability)."""
     import torch
@@ -331,6 +394,8 @@ def _load_init(kind):
           if k.startswith(kind + "::")}
     if kind == "h36m":
         return convert_conv_mixer(sd, num_blocks=H36M_CFG["num_blocks"])
+    if kind == "ar":
+        return convert_conv_mixer(sd, num_blocks=AR_CFG["num_blocks"])
     return convert_mlp_mixer(sd, num_blocks=AMASS_CFG["num_blocks"])
 
 
@@ -406,6 +471,40 @@ def jax_amass(data_dir, work, platform=None, init_variables=None):
     }
 
 
+def jax_h36m_autoreg(data_dir, work, platform=None, init_variables=None):
+    sys.path.insert(0, REPO)
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    from motionmixerconv_tpu.cli.train_autoreg_mixer_h36m import parse_args
+    from motionmixerconv_tpu.cli._runner import run_h36m_autoregressive
+
+    c = AR_CFG
+    argv = [
+        "--data_dir", data_dir, "--save_path", os.path.join(work, "jax_ar"),
+        "--n_epochs", str(c["n_epochs"]),
+        "--n_epochs_teacher_forcing", str(c["n_epochs_teacher_forcing"]),
+        "--milestones", *[str(m) for m in c["milestones"]],
+        "--gamma", str(c["gamma"]), "--batch_size", str(c["batch_size"]),
+        "--batch_size_test", str(c["batch_size_test"]),
+        "--skip_rate", str(c["skip_rate"]), "--lr", str(c["lr"]),
+    ]
+    args = parse_args(argv)
+    args.conv1_kernel_shape = (args.kernel1_x, args.kernel1_y)
+    t0 = time.time()
+    history, _, _ = run_h36m_autoregressive(args, init_variables=init_variables)
+    return {
+        "train_per_epoch": [float(x) for x in history["train"]],
+        "val_per_epoch": [float(x) for x in history["val"]],
+        "test_per_epoch": [float(x) for x in history["metrics"]["mpjpe"]],
+        "train": float(history["train"][-1]), "val": float(history["val"][-1]),
+        "test_mpjpe": float(history["metrics"]["mpjpe"][-1]),
+        "test_auc_pck": float(history["metrics"]["auc_pck"][-1]),
+        "wall_s": time.time() - t0,
+    }
+
+
 def jax_h36m_seed_study(data_dir, platform=None):
     sys.path.insert(0, REPO)
     import jax
@@ -469,6 +568,7 @@ def write_outputs(results):
 
     t_h, j_h = results["torch_h36m"], results["jax_h36m"]
     t_a, j_a = results["torch_amass"], results["jax_amass"]
+    t_r, j_r = results.get("torch_ar"), results.get("jax_ar")
     md = [
         "# Convergence-to-quality parity runs",
         "",
@@ -497,6 +597,9 @@ def write_outputs(results):
     md += final_rows("h36m", t_h, j_h,
                      ["train", "val", "test_mpjpe", "test_auc_pck"])
     md += final_rows("amass", t_a, j_a, ["train", "val", "test_mpjpe"])
+    if t_r and j_r:
+        md += final_rows("autoreg", t_r, j_r,
+                         ["train", "val", "test_mpjpe", "test_auc_pck"])
     md += [
         "",
         "Train loss per epoch (every 2nd epoch):",
@@ -505,6 +608,19 @@ def write_outputs(results):
         f"- h36m jax:   {epoch_row(j_h['train_per_epoch'])}",
         f"- amass torch: {epoch_row(t_a['train_per_epoch'], 3)}",
         f"- amass jax:   {epoch_row(j_a['train_per_epoch'], 3)}",
+    ]
+    if t_r and j_r:
+        md += [
+            f"- autoreg torch: {epoch_row(t_r['train_per_epoch'], 1)}",
+            f"- autoreg jax:   {epoch_row(j_r['train_per_epoch'], 1)}",
+            "",
+            "The autoregressive run exercises the teacher-forcing schedule "
+            f"(forced for the first {AR_CFG['n_epochs_teacher_forcing']} "
+            "epochs, closed-loop after) and BatchNorm regularization at the "
+            "reference autoreg CLI defaults (hidden 192, 8 conv channels, "
+            "(5,5) kernels, train_autoreg_mixer_h36m.py:486-548).",
+        ]
+    md += [
         "",
         "## 2. Independent-init seed study",
         "",
@@ -541,7 +657,7 @@ def main():
     if not os.path.isdir(REFERENCE):
         sys.exit("reference repo not available")
     os.makedirs(args.work, exist_ok=True)
-    for sub in ("torch_h36m", "jax_h36m", "jax_amass"):
+    for sub in ("torch_h36m", "jax_h36m", "jax_amass", "torch_ar", "jax_ar"):
         shutil.rmtree(os.path.join(args.work, sub), ignore_errors=True)
     h36m_dir, amass_dir = make_corpora(args.work)
 
@@ -550,6 +666,11 @@ def main():
     if os.path.exists(cache_path):
         with open(cache_path) as f:
             results = json.load(f)
+    elif os.path.exists(OUT_JSON):
+        # fresh work dir: seed the phase cache from the committed golden so
+        # only newly added phases re-run
+        with open(OUT_JSON) as f:
+            results = json.load(f)["results"]
 
     def save():
         with open(cache_path, "w") as f:
@@ -571,6 +692,12 @@ def main():
         init_arrays.update(sd)
         np.savez(OUT_INIT, **init_arrays)
         save()
+    if "torch_ar" not in results:
+        print("=== torch autoregressive (matched-init source) ===")
+        results["torch_ar"], sd = torch_h36m_autoreg(h36m_dir, args.work)
+        init_arrays.update(sd)
+        np.savez(OUT_INIT, **init_arrays)
+        save()
     if "torch_seeds" not in results:
         print("=== torch seed study ===")
         results["torch_seeds"] = torch_h36m_seed_study(h36m_dir)
@@ -584,6 +711,12 @@ def main():
         print("=== jax amass (torch init imported) ===")
         results["jax_amass"] = jax_amass(amass_dir, args.work, args.jax_platform,
                                          init_variables=_load_init("amass"))
+        save()
+    if "jax_ar" not in results:
+        print("=== jax autoregressive (torch init imported) ===")
+        results["jax_ar"] = jax_h36m_autoreg(h36m_dir, args.work,
+                                             args.jax_platform,
+                                             init_variables=_load_init("ar"))
         save()
     if "jax_seeds" not in results:
         print("=== jax seed study ===")
