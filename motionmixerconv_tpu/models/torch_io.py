@@ -221,15 +221,32 @@ def _layernorm_out(out: Flat, prefix: str, p: dict) -> None:
     out[f"{prefix}.bias"] = np.asarray(p["bias"])
 
 
+def _reg_out(out: Flat, prefix: str, reg_params, reg_stats) -> None:
+    """Inverse of ``_reg``: BatchNorm regularization (regularization == -1)
+    back to the torch key layout, incl. the ``num_batches_tracked`` counter
+    torch's strict ``load_state_dict`` requires (its value is unused unless
+    BN momentum is None, so 0 is faithful for a converted checkpoint)."""
+    if reg_params is None:
+        return
+    bn_p = reg_params["BatchNorm_0"]
+    bn_s = reg_stats["BatchNorm_0"]
+    out[f"{prefix}.weight"] = np.asarray(bn_p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(bn_p["bias"])
+    out[f"{prefix}.running_mean"] = np.asarray(bn_s["mean"])
+    out[f"{prefix}.running_var"] = np.asarray(bn_s["var"])
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
 def export_mlp_mixer(variables: Dict[str, Any], num_blocks: int) -> Flat:
     """flax MlpMixer variables -> reference torch state_dict arrays.
 
     Inverse of ``convert_mlp_mixer``; lets models trained here be loaded by
     the reference's torch code (``torch.save`` the returned dict after
-    wrapping values in torch tensors). Dropout-regularized configs only
-    (BatchNorm export not implemented).
+    wrapping values in torch tensors). Covers dropout- and BatchNorm-
+    regularized configs (BN running stats from ``batch_stats``).
     """
     p = variables["params"]
+    bs = variables.get("batch_stats", {})
     out: Flat = {}
     w = np.asarray(p["conv"]["kernel"])  # (D, H)
     out["conv.weight"] = np.ascontiguousarray(w.T)[:, None, None, :]
@@ -241,10 +258,14 @@ def export_mlp_mixer(variables: Dict[str, Any], num_blocks: int) -> Flat:
             _layernorm_out(out, f"{tp}.LN1", bp["LN1"])
         if "LN2" in bp:
             _layernorm_out(out, f"{tp}.LN2", bp["LN2"])
+        bbs = bs.get(f"Mixer_Block_{i}", {})
         for mb in ("mlp_block_token_mixing", "mlp_block_channel_mixing"):
             if mb in bp:
                 _linear_out(out, f"{tp}.{mb}.fc1", bp[mb]["fc1"])
                 _linear_out(out, f"{tp}.{mb}.fc2", bp[mb]["fc2"])
+                for reg in ("reg1", "reg2"):
+                    _reg_out(out, f"{tp}.{mb}.{reg}", bp[mb].get(reg),
+                             bbs.get(mb, {}).get(reg))
         if "se" in bp:
             _se_out(out, f"{tp}.se", bp["se"], "excitation")
     _layernorm_out(out, "LN", p["LN"])
@@ -273,13 +294,14 @@ def export_conv_mixer(variables: Dict[str, Any], num_blocks: int,
                       omega0: float = 0.1) -> Flat:
     """flax ConvMixer variables -> reference torch state_dict arrays.
 
-    Inverse of ``convert_conv_mixer`` (dropout-regularized configs; BatchNorm
-    export not implemented, matching export_mlp_mixer). Pass the model's
+    Inverse of ``convert_conv_mixer`` (dropout- and BatchNorm-regularized
+    configs, matching export_mlp_mixer). Pass the model's
     ``encoder_n_harmonic_functions``/``encoder_omega0`` so the torch
     ``encoder.frequencies`` buffer (a deterministic constant,
     positional_encoder.py:54-58) is emitted when harmonic encoding is on.
     """
     p = variables["params"]
+    bs = variables.get("batch_stats", {})
     out: Flat = {}
     if n_harmonic_functions > 0:
         out["encoder.frequencies"] = (
@@ -289,12 +311,17 @@ def export_conv_mixer(variables: Dict[str, Any], num_blocks: int,
     _linear_out(out, "encoder.channelUpscaling", p["encoder"]["channelUpscaling"])
     for i in range(num_blocks):
         bp = p[f"Mixer_Block_{i}"]
+        bbs = bs.get(f"Mixer_Block_{i}", {})
         tp = f"Mixer_Block.{i}"
         _layernorm_out(out, f"{tp}.LN1", bp["LN1"])
         _conv2d_out(out, f"{tp}.conv1.conv", bp["conv1"]["conv"])
+        _reg_out(out, f"{tp}.conv1.reg", bp["conv1"].get("reg"),
+                 bbs.get("conv1", {}).get("reg"))
         if "conv2" in bp:
             _layernorm_out(out, f"{tp}.LN2", bp["LN2"])
             _conv2d_out(out, f"{tp}.conv2.conv", bp["conv2"]["conv"])
+            _reg_out(out, f"{tp}.conv2.reg", bp["conv2"].get("reg"),
+                     bbs.get("conv2", {}).get("reg"))
         if "se" in bp:
             _se_out(out, f"{tp}.se", bp["se"], "excitationBlock")
             # the reference aliases se2 to se (conv_mixer_model.py:257); its

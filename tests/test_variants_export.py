@@ -104,3 +104,41 @@ def test_conv_mixer_export_roundtrip_and_torch_load():
     assert set(sd.keys()) == ref_keys, (
         f"missing={ref_keys - set(sd)} extra={set(sd) - ref_keys}"
     )
+
+
+def test_mlp_mixer_bn_export_roundtrip_and_keyset():
+    """BatchNorm-regularized MlpMixer: reference sd -> flax -> export
+    reproduces the reference state_dict (keys AND values; the only exception
+    is num_batches_tracked, whose value torch never reads with a fixed
+    momentum — the key itself is required by strict load_state_dict)."""
+    golden = np.load(os.path.join(GOLDEN, "model_mlp_mixer_bn.npz"))
+    ref_sd = {k[4:]: golden[k] for k in golden.files if k.startswith("sd::")}
+    variables = convert_mlp_mixer(ref_sd, num_blocks=2)
+    sd = export_mlp_mixer(variables, num_blocks=2)
+    assert set(sd.keys()) == set(ref_sd.keys()), (
+        f"missing={set(ref_sd) - set(sd)} extra={set(sd) - set(ref_sd)}"
+    )
+    for k, v in ref_sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(sd[k], v, err_msg=k)
+
+
+def test_conv_mixer_bn_export_roundtrip_and_keyset():
+    """BatchNorm multi-channel ConvMixer (the autoreg CLI default shape of
+    regularization): reference sd -> flax -> export is lossless."""
+    from motionmixerconv_tpu.models import convert_conv_mixer
+    from motionmixerconv_tpu.models.torch_io import export_conv_mixer
+
+    golden = np.load(os.path.join(GOLDEN, "model_conv_mixer_multichan.npz"))
+    ref_sd = {k[4:]: golden[k] for k in golden.files if k.startswith("sd::")}
+    variables = convert_conv_mixer(ref_sd, num_blocks=2)
+    sd = export_conv_mixer(variables, num_blocks=2, n_harmonic_functions=8,
+                           omega0=0.1)
+    assert set(sd.keys()) == set(ref_sd.keys()), (
+        f"missing={set(ref_sd) - set(sd)} extra={set(sd) - set(ref_sd)}"
+    )
+    for k, v in ref_sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(sd[k], v, err_msg=k)
