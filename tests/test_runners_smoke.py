@@ -115,3 +115,23 @@ def test_ais_autoreg_runner(ais_dir, tmp_path):
     ])
     _finite(history)
     _assert_artifacts(save)
+
+
+def test_h36m_autoreg_angle_runner(h36m_dir, tmp_path):
+    """Autoregressive angle branch: L1 rollout loss on 48 dims, euler +
+    joint-angle stitched-frame eval (test_angle_autoregressive,
+    train_autoreg_mixer_h36m.py:360-412)."""
+    from motionmixerconv_tpu.cli import train_autoreg_mixer_h36m
+
+    save = str(tmp_path / "runs")
+    history = train_autoreg_mixer_h36m.main([
+        "--data_dir", h36m_dir, "--save_path", save,
+        "--loss_type", "angle", "--n_epochs", "2",
+        "--n_epochs_teacher_forcing", "1", "--skip_rate", "5",
+        "--num_blocks", "2", "--hidden_dim", "24", "--conv_nChan", "2",
+        "--actions_to_consider", "walking", "--batch_size", "128",
+    ])
+    _finite(history)
+    assert np.isfinite(history["metrics"]["euler_angle"]).all()
+    assert np.isfinite(history["metrics"]["joint_angle"]).all()
+    _assert_artifacts(save)
