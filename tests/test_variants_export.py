@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from motionmixerconv_tpu.models.mixer_mlp import MixerBlockChannel, MixerBlockToken
 from motionmixerconv_tpu.models import MlpMixer, convert_mlp_mixer
@@ -142,3 +143,52 @@ def test_conv_mixer_bn_export_roundtrip_and_keyset():
         if k.endswith("num_batches_tracked"):
             continue
         np.testing.assert_array_equal(sd[k], v, err_msg=k)
+
+
+def test_reference_torch_loads_export_and_forward_matches():
+    """When /root/reference + torch are available: the reference's OWN torch
+    modules load our exported state_dict with strict=True and produce the
+    same forward — models trained here are drop-in checkpoints for the
+    reference, including the BatchNorm-regularized autoreg default shape."""
+    import sys
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    torch = pytest.importorskip("torch")
+    for p in ("/root/reference", "/root/reference/h36m",
+              "/root/reference/conv_mixer"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    from h36m.conv_mixer_model import ConvMixer as RefConvMixer
+
+    from motionmixerconv_tpu.models import ConvMixer
+    from motionmixerconv_tpu.models.torch_io import export_conv_mixer
+
+    kw = dict(num_blocks=2, dimPosIn=66, dimPosEmb=64, dimPosOut=66,
+              in_nTP=10, out_nTP=5, conv_nChan=8, conv1_kernel_shape=(5, 5),
+              conv1_stride=(1, 1), conv1_padding=None, mode_conv="twice",
+              activation="mish", regularization=-1.0, use_se=True, r_se=8,
+              use_max_pooling=False, encoder_n_harmonic_functions=0,
+              encoder_omega0=0.1)
+    model = ConvMixer(**kw)
+    x = np.random.RandomState(2).randn(4, 10, 66).astype(np.float32) * 0.5
+    variables = model.init(jax.random.PRNGKey(3), jnp.asarray(x), training=False)
+    # populate BN stats with one training-mode pass so running stats are
+    # non-trivial on both sides
+    _, upd = model.apply(variables, jnp.asarray(x), training=True,
+                         rngs={"dropout": jax.random.PRNGKey(4)},
+                         mutable=["batch_stats"])
+    variables = {"params": variables["params"], **upd}
+    want = np.asarray(model.apply(variables, jnp.asarray(x), training=False))
+
+    sd = export_conv_mixer(variables, num_blocks=2)
+    ref = RefConvMixer(**kw)
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    ref.eval()
+    with torch.no_grad():
+        got = ref(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
