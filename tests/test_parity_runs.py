@@ -8,7 +8,8 @@ shuffling and dropout) through the REAL CLI runners and asserts the final
 metrics stay within a few percent of the recorded torch results.
 
 Recorded agreement at generation time (PARITY_RUNS.md): h36m train/val/test
-within 0.5-7.4% (jax slightly better), amass within 0.0-0.3%.
+within 0.5-7.4% (jax slightly better), amass within 0.0-0.3%, autoregressive
+within 0.6-1.7%.
 """
 
 import json
@@ -79,3 +80,63 @@ def test_amass_matched_init_convergence(recorded, tmp_path_factory):
     t = np.asarray(torch_side["train_per_epoch"])
     j = np.asarray(ours["train_per_epoch"])
     np.testing.assert_allclose(j, t, rtol=0.1)
+
+
+def test_autoreg_flagship_recorded_agreement(recorded):
+    """The committed flagship autoregressive pair (reference autoreg CLI
+    defaults: hidden 192, 8 channels, BatchNorm; run on the TPU by
+    tools/parity_runs.py — too expensive to re-train on the CPU conftest)
+    agrees to the tolerances PARITY_RUNS.md documents."""
+    if "torch_ar" not in recorded["results"]:
+        pytest.skip("autoreg phase not recorded in this golden")
+    t = recorded["results"]["torch_ar"]
+    j = recorded["results"]["jax_ar"]
+    for key in ("train", "val", "test_mpjpe"):
+        rel = abs(j[key] - t[key]) / abs(t[key])
+        assert rel < 0.05, (key, j[key], t[key])
+    assert abs(j["test_auc_pck"] - t["test_auc_pck"]) < 0.02
+    np.testing.assert_allclose(j["train_per_epoch"], t["train_per_epoch"],
+                               rtol=0.06)
+
+
+@pytest.mark.slow
+def test_autoreg_matched_init_convergence(recorded, tmp_path_factory):
+    """Autoregressive trainer vs the reference's own train_autoregressive
+    (teacher-forcing schedule + closed-loop feedback + BatchNorm), re-run
+    live on the AR_SMALL_CFG twin — same trainer semantics as the flagship
+    autoreg defaults at ~1/60 the FLOPs so it fits the CPU conftest.
+
+    This config sits on the early optimization plateau, where both
+    frameworks take near-identical steps: the recorded torch and TPU-jax
+    trajectories match to 0.01% across all 930 optimizer steps (TF switch,
+    BatchNorm harvesting and the milestone decay included) — so the
+    trajectory assertion here is tight."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(GOLDEN), "..", "tools"))
+    import parity_runs as pr
+
+    if "torch_ar_small" not in recorded["results"]:
+        pytest.skip("autoreg small phase not recorded in this golden")
+    pr.OUT_INIT = os.path.join(GOLDEN, "parity_init.npz")
+    work = str(tmp_path_factory.mktemp("parity_ar"))
+    from motionmixerconv_tpu.data import fixtures
+
+    c = recorded["h36m_cfg"]  # the AR runs share the H36M corpus
+    data_dir = os.path.join(work, "h36m")
+    fixtures.make_h36m_corpus(data_dir, n_frames=c["n_frames"],
+                              seed=c["data_seed"])
+    ours = pr.jax_h36m_autoreg(data_dir, work,
+                               init_variables=pr._load_init("ar_small"),
+                               c=pr.AR_SMALL_CFG, tag="ar_small")
+    torch_side = recorded["results"]["torch_ar_small"]
+
+    for key, tol in (("train", 0.05), ("val", 0.05), ("test_mpjpe", 0.05)):
+        rel = abs(ours[key] - torch_side[key]) / abs(torch_side[key])
+        assert rel < tol, (key, ours[key], torch_side[key])
+    assert abs(ours["test_auc_pck"] - torch_side["test_auc_pck"]) < 0.05
+    t = np.asarray(torch_side["train_per_epoch"])
+    j = np.asarray(ours["train_per_epoch"])
+    np.testing.assert_allclose(j, t, rtol=0.05)
+    # both sides descend the plateau identically, they don't just sit still
+    assert j[-1] < j[0] - 3 and t[-1] < t[0] - 3
