@@ -334,8 +334,8 @@ class Trainer:
         )
 
         run = self._grouped_fn(kind, n_groups)
-        m1, m2, nn = run(state.variables(), frames, starts, w, gids)
-        return np.asarray(m1), np.asarray(m2), np.asarray(nn)
+        stacked = np.asarray(run(state.variables(), frames, starts, w, gids))
+        return stacked[0], stacked[1], stacked[2]
 
     def _grouped_fn(self, kind: str, n_groups: int):
         """Cached jitted scan for grouped eval (one compile per kind/groups)."""
@@ -359,7 +359,9 @@ class Trainer:
 
             zero = jnp.zeros((n_groups,), jnp.float32)
             (m1, m2, nn), _ = jax.lax.scan(step, (zero, zero, zero), (starts, w, gids))
-            return m1, m2, nn
+            # one stacked result = ONE device->host transfer on the tunneled
+            # runtime (three separate fetches each pay the relay round trip)
+            return jnp.stack([m1, m2, nn])
 
         self._grouped_cache[key] = run
         return run
