@@ -69,8 +69,10 @@ def auc_pck_from_dist(dist: jnp.ndarray, axis=None) -> jnp.ndarray:
     grid, suffix = _auc_suffix_weights()
     # k = searchsorted(grid, dist, side='left') == #(grid < dist), computed as
     # a fused broadcast-count: identical result, ~5x faster than XLA's
-    # binary-search lowering on TPU (12.2 -> 2.6 ms at 140k distances)
-    k = jnp.sum(dist[..., None] > grid, axis=-1)
+    # binary-search lowering on TPU (12.2 -> 2.6 ms at 140k distances).
+    # Counting NOT(dist <= grid) keeps searchsorted's NaN semantics: a NaN
+    # distance lands in the terminal bucket (zero credit), not bucket 0.
+    k = jnp.sum(~(dist[..., None] <= grid), axis=-1)
     return jnp.mean(suffix[k], axis=axis) / 0.299
 
 

@@ -158,8 +158,9 @@ class FusedMlpMixer:
             self.tok_w1 = stack2(lambda b: _pad2(b[tok]["fc1"]["kernel"], Tp, LANE), Tp, LANE)
             self.tok_b1 = stack2(lambda b: _row(b[tok]["fc1"]["bias"], LANE), 1, LANE)
             self.tok_w2 = stack2(lambda b: _pad2(b[tok]["fc2"]["kernel"], LANE, Tp), LANE, Tp)
-            self.tok_A = np.stack([tok_fold(i)[0] for i in range(nb)])
-            self.tok_P = np.stack([tok_fold(i)[1] for i in range(nb)])
+            tok_folds = [tok_fold(i) for i in range(nb)]
+            self.tok_A = np.stack([f[0] for f in tok_folds])
+            self.tok_P = np.stack([f[1] for f in tok_folds])
         else:
             self.ln1_g = np.zeros((nb, 1, LANE), np.float32)
             self.ln1_b = np.zeros((nb, 1, LANE), np.float32)
@@ -174,8 +175,9 @@ class FusedMlpMixer:
             self.ch_w1 = stack2(lambda b: _pad2(b[ch]["fc1"]["kernel"], LANE, LANE), LANE, LANE)
             self.ch_b1 = stack2(lambda b: _row(b[ch]["fc1"]["bias"], LANE), 1, LANE)
             self.ch_w2 = stack2(lambda b: _pad2(b[ch]["fc2"]["kernel"], LANE, LANE), LANE, LANE)
-            self.ch_A = np.stack([ch_fold(i)[0] for i in range(nb)])
-            self.ch_P = np.stack([ch_fold(i)[1] for i in range(nb)])
+            ch_folds = [ch_fold(i) for i in range(nb)]
+            self.ch_A = np.stack([f[0] for f in ch_folds])
+            self.ch_P = np.stack([f[1] for f in ch_folds])
         else:
             self.ln2_g = np.zeros((nb, 1, LANE), np.float32)
             self.ln2_b = np.zeros((nb, 1, LANE), np.float32)

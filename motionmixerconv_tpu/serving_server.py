@@ -69,6 +69,7 @@ class BatchingPredictor:
             b *= 2
         self.buckets.append(max_batch)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._held = None  # swept request deferred to the next wave
         self._stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_rows = 0
@@ -126,11 +127,20 @@ class BatchingPredictor:
     # ---------------------------------------------------------------- batcher
 
     def _drain(self) -> list:
-        """Block for one request, then sweep stragglers up to max_batch."""
-        try:
-            first = self._queue.get(timeout=0.1)
-        except queue.Empty:
-            return []
+        """Block for one request, then sweep stragglers up to max_batch.
+
+        A swept request that would push the wave past max_batch is held for
+        the next wave (``_held``) instead of joining this one — otherwise the
+        overshot total lands above every warmed bucket and the whole wave
+        stalls on a fresh XLA compile.
+        """
+        if self._held is not None:
+            first, self._held = self._held, None
+        else:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                return []
         items, rows = [first], first.x.shape[0]
         deadline = time.perf_counter() + self.max_wait
         while rows < self.max_batch:
@@ -140,6 +150,9 @@ class BatchingPredictor:
             try:
                 nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
+                break
+            if rows + nxt.x.shape[0] > self.max_batch:
+                self._held = nxt
                 break
             items.append(nxt)
             rows += nxt.x.shape[0]
@@ -310,8 +323,8 @@ def main(argv: Optional[list] = None) -> None:
             num_classes=args.pose_dim, num_blocks=args.num_blocks,
             hidden_dim=args.hidden_dim, tokens_mlp_dim=args.tokens_mlp_dim,
             channels_mlp_dim=args.channels_mlp_dim, seq_len=args.input_n,
-            pred_len=args.output_n, activation="gelu", regularization=0.1,
-            input_size=args.pose_dim, r_se=8, use_se=True,
+            pred_len=args.output_n, activation=args.activation,
+            regularization=0.1, input_size=args.pose_dim, r_se=8, use_se=True,
         )
     predictor = Predictor.from_checkpoint(
         model, args.model_path,

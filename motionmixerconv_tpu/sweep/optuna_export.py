@@ -302,6 +302,17 @@ def export_optuna_sqlite(
                 k: infer_distribution(payload["spaces"].get(k, vs))
                 for k, vs in observed.items()
             }
+            # widen categorical choices over ALL trials up front so every
+            # inserted trial_params row carries the same final distribution
+            # (optuna readers assume one distribution per param per study;
+            # widening mid-insert would leave earlier rows with a stale,
+            # narrower choice list)
+            for t in payload["trials"]:
+                for k, v in t["params"].items():
+                    dist = dists[k]
+                    if (dist["name"] == "CategoricalDistribution"
+                            and v not in dist["attributes"]["choices"]):
+                        dist["attributes"]["choices"].append(v)
 
             for t in payload["trials"]:
                 cur = conn.execute(
@@ -322,11 +333,6 @@ def export_optuna_sqlite(
                         (tid, i, v, vt))
                 for k, v in t["params"].items():
                     dist = dists[k]
-                    if (dist["name"] == "CategoricalDistribution"
-                            and v not in dist["attributes"]["choices"]):
-                        # value outside the recorded space (e.g. resumed
-                        # study with a changed grid): widen the choices
-                        dist["attributes"]["choices"].append(v)
                     conn.execute(
                         "INSERT INTO trial_params (trial_id, param_name, "
                         "param_value, distribution_json) VALUES (?,?,?,?)",

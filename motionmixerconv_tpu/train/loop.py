@@ -322,6 +322,12 @@ class Trainer:
         """
         n = len(window_starts)
         bs = min(batch_size, n)
+        if self.mesh is not None:
+            # sharded batches must divide the 'data' axis; round the batch
+            # up (weight-0 padding absorbs the extra rows) so small corpora
+            # don't produce an unshardable (n_batches, n) array
+            axis = self.mesh.shape["data"]
+            bs = min(batch_size, ((bs + axis - 1) // axis) * axis)
         n_batches = (n + bs - 1) // bs
         pad = n_batches * bs - n
         starts = np.concatenate([window_starts, np.zeros(pad, np.int64)])

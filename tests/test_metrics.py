@@ -81,3 +81,20 @@ def test_cosine_criteria():
     np.testing.assert_allclose(
         criterion_cos2(jnp.asarray(a), jnp.asarray(b)), ref(a, b, 1), atol=1e-6
     )
+
+
+def test_auc_pck_nan_distances_score_zero():
+    """NaN joint distances must land in the terminal (zero-credit) bucket —
+    searchsorted semantics — not bucket 0 (full credit); a diverged model
+    must not report a perfect AUC."""
+    import jax.numpy as jnp
+
+    from motionmixerconv_tpu.metrics.metrics import auc_pck_from_dist
+
+    good = jnp.full((4, 5), 0.01, jnp.float32)
+    assert float(auc_pck_from_dist(good)) > 0.9
+    bad = jnp.full((4, 5), jnp.nan, jnp.float32)
+    assert float(auc_pck_from_dist(bad)) == 0.0
+    half = good.at[:2].set(jnp.nan)
+    mid = float(auc_pck_from_dist(half))
+    assert 0.4 < mid < 0.6

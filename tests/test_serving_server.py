@@ -114,3 +114,32 @@ def test_http_server_roundtrip():
         assert stats["requests"] >= 1
     finally:
         server.close()
+
+
+def test_drain_never_overshoots_max_batch():
+    """A swept request that would push the wave past max_batch is deferred to
+    the next wave: every dispatch stays within a warmed bucket shape (an
+    overshoot would land above every bucket and stall a whole wave on a
+    fresh XLA compile)."""
+    p = _predictor()
+    b = BatchingPredictor(p, max_batch=16, max_wait_ms=40.0)
+    rs = np.random.RandomState(1)
+    xs = [rs.randn(10, 10, 66).astype(np.float32) for _ in range(6)]
+    want = [np.asarray(p.predict(x)) for x in xs]
+    results = [None] * len(xs)
+
+    def worker(i):
+        results[i] = b.predict(xs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(xs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    b.close()
+    for got, w in zip(results, want):
+        np.testing.assert_allclose(got, w, atol=1e-5)
+    # 6 x 10-row requests under max_batch=16 -> only one request fits per
+    # wave (10 + 10 > 16); every dispatched bucket must be <= max_batch
+    assert b.bucket_counts, "no batches dispatched"
+    assert max(b.bucket_counts) <= 16, b.bucket_counts

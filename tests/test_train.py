@@ -314,3 +314,33 @@ def test_direct_trainer_batchnorm_training(h36m_dir):
     # eval uses the running stats without error
     val = tr.validate(state, ds, frames, 64)
     assert np.isfinite(val)
+
+
+def test_mesh_grouped_eval_small_corpus(h36m_dir):
+    """A corpus smaller than batch_size (with a count NOT divisible by the
+    mesh's data axis) must still evaluate under a mesh: bs rounds up to a
+    multiple of the axis and weight-0 padding absorbs the extra rows.
+    Regression: min(batch_size, n) produced an unshardable (n_batches, n)
+    array and device_put raised."""
+    import numpy as np
+    from motionmixerconv_tpu.parallel import make_mesh
+
+    ds = H36MDataset(h36m_dir, 10, 10, 5, actions=["walking"], split=2)
+    frames = jnp.asarray(ds.frames)
+    n = 13  # < batch_size, not divisible by the 8-device axis
+    starts = ds.window_starts[:n]
+    gids = np.zeros(n, np.int64)
+
+    tr0 = _trainer()
+    st0 = tr0.init_state(jax.random.PRNGKey(0))
+    m1a, m2a, na = tr0.evaluate_grouped(st0, frames, starts, gids, 1, 64,
+                                        "h36m_xyz")
+
+    trm = _trainer(mesh=make_mesh())
+    stm = trm.init_state(jax.random.PRNGKey(0))
+    m1b, m2b, nb = trm.evaluate_grouped(stm, frames, starts, gids, 1, 64,
+                                        "h36m_xyz")
+    np.testing.assert_allclose(m1a, m1b, rtol=1e-5)
+    np.testing.assert_allclose(m2a, m2b, rtol=1e-5)
+    np.testing.assert_array_equal(na, nb)
+    assert float(na[0]) == n
