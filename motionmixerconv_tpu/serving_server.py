@@ -111,6 +111,20 @@ class BatchingPredictor:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=2.0)
+        # unblock any clients still waiting (held or queued) — otherwise
+        # their predict() calls hang forever after shutdown
+        leftovers = []
+        if self._held is not None:
+            leftovers.append(self._held)
+            self._held = None
+        while True:
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for item in leftovers:
+            item.error = RuntimeError("BatchingPredictor closed")
+            item.event.set()
 
     def _bucketed(self, rows: int) -> int:
         for b in self.buckets:

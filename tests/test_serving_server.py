@@ -143,3 +143,29 @@ def test_drain_never_overshoots_max_batch():
     # wave (10 + 10 > 16); every dispatched bucket must be <= max_batch
     assert b.bucket_counts, "no batches dispatched"
     assert max(b.bucket_counts) <= 16, b.bucket_counts
+
+
+def test_close_unblocks_pending_clients():
+    """predict() calls still queued at close() fail with an error instead of
+    hanging forever."""
+    import time as _time
+
+    p = _predictor()
+    b = BatchingPredictor(p, max_batch=8, max_wait_ms=1.0)
+    b._stop.set()  # freeze the batcher loop so the request stays queued
+    b._thread.join(timeout=5)
+    errors = []
+
+    def worker():
+        try:
+            b.predict(np.zeros((2, 10, 66), np.float32))
+        except RuntimeError as e:
+            errors.append(e)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    _time.sleep(0.2)
+    b.close()
+    t.join(timeout=5)
+    assert not t.is_alive(), "client still blocked after close()"
+    assert errors and "closed" in str(errors[0])
