@@ -9,6 +9,12 @@ from .windows import (
 from .h36m import H36MDataset, read_csv_floats
 from .amass import AMASSDataset
 from .ais import AISDataset, canonicalize_frames, ewm_mean
+from .cmu import (
+    CMUDataset,
+    define_actions_cmu,
+    load_data_cmu,
+    load_data_cmu_3d,
+)
 from . import fixtures
 
 __all__ = [
@@ -24,5 +30,9 @@ __all__ = [
     "AISDataset",
     "canonicalize_frames",
     "ewm_mean",
+    "CMUDataset",
+    "define_actions_cmu",
+    "load_data_cmu",
+    "load_data_cmu_3d",
     "fixtures",
 ]

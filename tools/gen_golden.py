@@ -617,6 +617,59 @@ def golden_datasets():
         print("dataset_ais.npz written")
 
 
+def golden_cmu():
+    """Execute the reference CMU loaders + CMU-skeleton FK.
+
+    load_data_cmu (h36m/utils/data_utils.py:333-394) runs as-is on a fixture
+    corpus (train + test modes). load_data_cmu_3d cannot run in the reference
+    (expmap2xyz_torch_cmu is undefined, :413), but its FK building blocks do:
+    fkl_torch (forward_kinematics.py:219-241) is generic over the skeleton,
+    so the 38-joint FK golden comes from executing it with
+    _some_variables_cmu (:138-216).
+    """
+    import tempfile
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    from motionmixerconv_tpu.data import fixtures
+
+    arrays = {}
+    with tempfile.TemporaryDirectory() as td:
+        fixtures.make_cmu_corpus(
+            td, actions=("basketball", "walking"), n_files=2, n_frames=300,
+            seed=77,
+        )
+        train = ref_du.load_data_cmu(td, ["basketball", "walking"], 10, 25)
+        sampled, ignore, use, mean, std = train
+        arrays["train_sampled"] = np.asarray(sampled, dtype=np.float32)
+        arrays["train_ignore"] = np.asarray(ignore)
+        arrays["train_use"] = np.asarray(use)
+        arrays["train_mean"] = np.asarray(mean)
+        arrays["train_std"] = np.asarray(std)
+        test = ref_du.load_data_cmu(
+            td, ["basketball", "walking"], 10, 25,
+            data_std=np.array(std), data_mean=np.array(mean), is_test=True,
+        )
+        arrays["test_sampled"] = np.asarray(test[0], dtype=np.float32)
+        arrays["test_ignore"] = np.asarray(test[1])
+        arrays["test_use"] = np.asarray(test[2])
+
+    # 38-joint FK golden from the executed generic fkl_torch
+    parent, offset, rotInd, expmapInd = ref_fk._some_variables_cmu()
+    rs = _seeded(31)
+    ang = (rs.randn(64, 117) * 0.4).astype(np.float32)
+    ang[0] = 0.0  # rest pose
+    xyz = ref_fk.fkl_torch(
+        torch.from_numpy(ang).float(), parent, offset, rotInd, expmapInd
+    )
+    arrays["fk_angles"] = ang
+    arrays["fk_xyz"] = xyz.detach().numpy()
+
+    np.savez(os.path.join(OUT_DIR, "cmu.npz"), **arrays)
+    print("cmu.npz written")
+
+
 if __name__ == "__main__":
     golden_rotations()
     golden_fkl()
@@ -630,3 +683,4 @@ if __name__ == "__main__":
     golden_mixer_variants()
     golden_train_parity()
     golden_graph()
+    golden_cmu()
