@@ -210,6 +210,7 @@ def _train_and_evaluate(
     m1_scale: float = 1.0,
     teacher_forcing_epochs=None,
     start_epoch: int = 0,
+    batch_order_fn=None,
 ):
     """Shared epoch driver: train -> validate -> grouped per-action test ->
     history/TensorBoard/checkpoint. Used by all grouped-eval runners; AMASS
@@ -218,6 +219,9 @@ def _train_and_evaluate(
     metric_names: (m1, m2) labels, e.g. ("mpjpe", "auc_pck").
     m1_scale: applied to the primary test metric (1000 for AIS meters -> mm).
     teacher_forcing_epochs: not None selects the autoregressive trainer path.
+    batch_order_fn: epoch -> window permutation, replays an explicit batch
+        stream (lockstep parity runs, tools/parity_runs.py). Direct
+        trainer path only.
     """
     history = {"train": [], "val": [], "test": [],
                "metrics": {metric_names[0]: [], metric_names[1]: []}}
@@ -234,7 +238,8 @@ def _train_and_evaluate(
                 )
             else:
                 state, train_loss = trainer.train_epoch(
-                    state, dataset, frames, args.batch_size, seed=epoch
+                    state, dataset, frames, args.batch_size, seed=epoch,
+                    order=batch_order_fn(epoch) if batch_order_fn else None,
                 )
         logger.add_scalar(
             "perf/train_seq_per_sec", len(dataset) / max(time.time() - t0, 1e-9), epoch
@@ -278,7 +283,7 @@ def _h36m_metric_names(loss_type):
     return ("mpjpe", "auc_pck") if loss_type == "mpjpe" else ("euler_angle", "joint_angle")
 
 def run_h36m(args, model=None, model_name: Optional[str] = None,
-             init_variables=None):
+             init_variables=None, batch_order_fn=None):
     """H36M direct training (train_mixer_h36m.py:47-279 + per-epoch tests)."""
     mode = "xyz" if args.loss_type == "mpjpe" else "angle"
     dim_used = H36M_DIM_USED_XYZ if mode == "xyz" else H36M_DIM_USED_ANGLE
@@ -342,6 +347,7 @@ def run_h36m(args, model=None, model_name: Optional[str] = None,
         test_kind="h36m_xyz" if args.loss_type == "mpjpe" else "h36m_angle",
         metric_names=_h36m_metric_names(args.loss_type),
         start_epoch=start_epoch,
+        batch_order_fn=batch_order_fn,
     )
 
     if getattr(args, "visualize", False) and args.loss_type == "mpjpe":

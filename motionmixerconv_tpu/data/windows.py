@@ -90,6 +90,7 @@ def batch_starts(
     shuffle: bool,
     seed: int | None = None,
     pad_to_full: bool = True,
+    order: np.ndarray | None = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yield (starts, weight) batches covering every window exactly once.
 
@@ -98,10 +99,21 @@ def batch_starts(
     repeating window 0 with weight 0. ``weight`` is (B,) float32 in {0, 1};
     loss/metric accumulation weighted by it reproduces ragged-batch averages
     exactly.
+
+    ``order`` overrides the shuffle with an explicit window permutation —
+    used to replay a reference DataLoader's exact batch stream for lockstep
+    convergence-parity runs (tools/parity_runs.py).
     """
-    order = np.arange(len(corpus))
-    if shuffle:
-        np.random.default_rng(seed).shuffle(order)
+    if order is not None:
+        order = np.asarray(order)
+        if order.shape[0] != len(corpus):
+            raise ValueError(
+                f"order has {order.shape[0]} entries for {len(corpus)} windows"
+            )
+    else:
+        order = np.arange(len(corpus))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
     starts = corpus.window_starts[order]
     n = len(order)
     for lo in range(0, n, batch_size):

@@ -281,17 +281,20 @@ class Trainer:
 
     def train_epoch(
         self, state: TrainState, corpus: WindowedCorpus, frames, batch_size: int,
-        seed: int, scan: bool = True,
+        seed: int, scan: bool = True, order: Optional[np.ndarray] = None,
     ) -> tuple[TrainState, float]:
         """One epoch over shuffled windows.
 
         ``scan=True`` (default) runs the whole epoch as a single jitted
         lax.scan dispatch; ``scan=False`` dispatches per step (useful for
-        debugging / host-side callbacks between steps).
+        debugging / host-side callbacks between steps). ``order`` replaces
+        the shuffle with an explicit window permutation (lockstep parity
+        runs against a recorded reference batch stream).
         """
         if scan:
             all_starts, all_w = [], []
-            for starts, w in batch_starts(corpus, batch_size, shuffle=True, seed=seed):
+            for starts, w in batch_starts(corpus, batch_size, shuffle=True,
+                                          seed=seed, order=order):
                 all_starts.append(starts)
                 all_w.append(w)
             starts, w = self._put_epoch_batches(np.stack(all_starts), np.stack(all_w))
@@ -299,7 +302,8 @@ class Trainer:
             return state, float(mean_loss)
 
         total, n = 0.0, 0
-        for starts, w in batch_starts(corpus, batch_size, shuffle=True, seed=seed):
+        for starts, w in batch_starts(corpus, batch_size, shuffle=True,
+                                      seed=seed, order=order):
             starts, w = self._put_batch(starts, w)
             k = int(np.sum(np.asarray(w) > 0))
             state, loss = self._train_step(state, frames, starts, w)

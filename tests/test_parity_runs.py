@@ -57,6 +57,51 @@ def test_h36m_matched_init_convergence(recorded, tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_h36m_lockstep_convergence(recorded, tmp_path_factory):
+    """The LOCKSTEP pair (VERDICT r2 item 4): dropout off, identical
+    per-epoch batch-order stream on both sides. Recorded agreement (TPU,
+    PARITY_RUNS.md): train-loss trajectory within 1.02% across all 20
+    epochs, final train 1.0% / val 0.45%; the test metric matches to 0.02%
+    for the first 5 epochs (eval-pipeline parity at matched params), then
+    drifts to 4.3% as the converged points separate after the lr milestone.
+    Tolerances here add margin for the CPU re-run vs the recorded TPU run.
+    """
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(GOLDEN), "..", "tools"))
+    import parity_runs as pr
+
+    if "torch_h36m_sync" not in recorded["results"]:
+        pytest.skip("lockstep phase not recorded in this golden")
+    pr.OUT_INIT = os.path.join(GOLDEN, "parity_init.npz")
+    work = str(tmp_path_factory.mktemp("parity_h36m_sync"))
+    from motionmixerconv_tpu.data import fixtures
+
+    c = recorded["h36m_cfg"]
+    data_dir = os.path.join(work, "h36m")
+    fixtures.make_h36m_corpus(data_dir, n_frames=c["n_frames"],
+                              seed=c["data_seed"])
+    ours = pr.jax_h36m_sync(data_dir, work,
+                            init_variables=pr._load_init("h36m_sync"))
+    torch_side = recorded["results"]["torch_h36m_sync"]
+
+    for key, tol in (("train", 0.02), ("val", 0.02), ("test_mpjpe", 0.06)):
+        rel = abs(ours[key] - torch_side[key]) / abs(torch_side[key])
+        assert rel < tol, (key, ours[key], torch_side[key])
+    assert abs(ours["test_auc_pck"] - torch_side["test_auc_pck"]) < 0.03
+    # the whole train trajectory tracks tightly — this is the lockstep claim
+    np.testing.assert_allclose(
+        np.asarray(ours["train_per_epoch"]),
+        np.asarray(torch_side["train_per_epoch"]), rtol=0.025,
+    )
+    # eval-pipeline parity: test metric agrees while params are still close
+    np.testing.assert_allclose(
+        np.asarray(ours["test_per_epoch"][:5]),
+        np.asarray(torch_side["test_per_epoch"][:5]), rtol=0.01,
+    )
+
+
+@pytest.mark.slow
 def test_amass_matched_init_convergence(recorded, tmp_path_factory):
     import sys
 
