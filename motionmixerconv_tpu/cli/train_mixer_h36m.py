@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="checkpoint path to resume training from "
                              "(a working version of the reference's dead "
                              "--load_checkpoint flag)")
+    parser.add_argument("--fused_encoder", action="store_true",
+                        help="fuse the harmonic encoder into one Pallas "
+                             "kernel (identical params + numerics; measured "
+                             "SLOWER than XLA on v5e — kept as the "
+                             "reproduction of DESIGN.md §6's training-"
+                             "kernel adjudication, ops/pallas_harmonic.py)")
     return parser
 
 

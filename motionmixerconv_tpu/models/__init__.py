@@ -1,4 +1,4 @@
-from .encoding import PoseEncoder
+from .encoding import ConvEncoder, PoseEncoder
 from .mixer_mlp import MlpMixer, MixerBlock, MlpBlock, SELayer
 from .mixer_conv import ConvMixer, ConvMixerBlock, ConvBlock, MultiChanSELayer
 from .torch_io import (
@@ -15,6 +15,7 @@ __all__ = [
     "export_mlp_mixer",
     "save_torch_state_dict",
     "PoseEncoder",
+    "ConvEncoder",
     "MlpMixer",
     "MixerBlock",
     "MlpBlock",

@@ -11,9 +11,43 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from .common import dense
+from .common import dense, torch_bias_init, torch_kernel_init
+
+
+class _FusedHarmonicDense(nn.Module):
+    """Drop-in for the ``embed_mlp`` Dense that computes
+    harmonic-embed + projection in ONE Pallas kernel (ops/pallas_harmonic.py)
+    — the embedding never touches HBM. Parameter names/shapes/inits are
+    identical to the Dense it replaces, so checkpoints are interchangeable
+    and fused/unfused models share state bit-for-bit.
+    """
+
+    dim_harmonic: int
+    features: int
+    d_in: int
+    n_harmonic: int
+    omega0: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.pallas_harmonic import make_fused_harmonic_dense
+
+        kernel = self.param(
+            "kernel", torch_kernel_init, (self.dim_harmonic, self.features)
+        )
+        bias = self.param(
+            "bias", torch_bias_init(self.dim_harmonic), (self.features,)
+        )
+        fn = make_fused_harmonic_dense(
+            self.d_in, self.features, self.n_harmonic, self.omega0,
+            interpret=jax.default_backend() != "tpu",
+        )
+        lead = x.shape[:-1]
+        out = fn(x.reshape(-1, self.d_in), kernel, bias)
+        return out.reshape(*lead, self.features)
 
 
 class PoseEncoder(nn.Module):
@@ -31,28 +65,81 @@ class PoseEncoder(nn.Module):
     n_harmonic_functions: int = 64
     omega0: float = 0.1
     dtype: Optional[Any] = None
+    # fuse harmonic-embed + projection into one Pallas kernel (f32 only;
+    # HBM-traffic eliminator — see ops/pallas_harmonic.py). Same params,
+    # same numerics to f32 tolerance, checkpoints interchangeable.
+    fused: bool = False
+    # treat the input as the ALREADY-COMPUTED harmonic embedding
+    # (B, T, 2*n*D) — the corpus-level embedding cache (Trainer
+    # precompute_embed) pays the trig once per corpus instead of per step.
+    # Bit-identical values (same jnp.sin on the same inputs, just batched
+    # over the corpus); params unchanged.
+    precomputed: bool = False
 
     def setup(self):
         if self.n_harmonic_functions <= 0:
             dim_harmonic = self.dimPosIn
         else:
             dim_harmonic = self.n_harmonic_functions * self.dimPosIn * 2
-        self.embed_mlp = dense(self.dimPosEmb, fan_in=dim_harmonic,
-                               name="embed_mlp", dtype=self.dtype)
+        if self.fused and self.n_harmonic_functions > 0 and self.dtype is None:
+            self.embed_mlp = _FusedHarmonicDense(
+                dim_harmonic=dim_harmonic, features=self.dimPosEmb,
+                d_in=self.dimPosIn, n_harmonic=self.n_harmonic_functions,
+                omega0=self.omega0, name="embed_mlp",
+            )
+            self._use_fused = True
+        else:
+            self.embed_mlp = dense(self.dimPosEmb, fan_in=dim_harmonic,
+                                   name="embed_mlp", dtype=self.dtype)
+            self._use_fused = False
         self.channelUpscaling = dense(self.conv_nChan, fan_in=1,
                                       name="channelUpscaling", dtype=self.dtype)
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.n_harmonic_functions <= 0:
-            embed = x
-        else:
-            freqs = self.omega0 * (
-                2.0 ** jnp.arange(self.n_harmonic_functions, dtype=x.dtype)
-            )
-            # (B, T, D, n) -> (B, T, D*n), feature-major like torch .view
-            e = (x[..., None] * freqs).reshape(*x.shape[:-1], -1)
-            embed = jnp.concatenate([jnp.sin(e), jnp.cos(e)], axis=-1)
+    @staticmethod
+    def harmonic_features(x: jnp.ndarray, n_harmonic: int,
+                          omega0: float) -> jnp.ndarray:
+        """(..., D) -> (..., 2*n*D) sin/cos features, the reference layout
+        (positional_encoder.py:86-89). The corpus-level cache applies this
+        once over all frames."""
+        freqs = omega0 * (2.0 ** jnp.arange(n_harmonic, dtype=x.dtype))
+        e = (x[..., None] * freqs).reshape(*x.shape[:-1], -1)
+        return jnp.concatenate([jnp.sin(e), jnp.cos(e)], axis=-1)
 
-        y = self.embed_mlp(embed)  # (B, T, E)
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.precomputed and self.n_harmonic_functions > 0:
+            y = self.embed_mlp(x)  # x IS the embedding
+        elif self._use_fused:
+            y = self.embed_mlp(x)  # fused harmonic+projection, (B, T, E)
+        else:
+            if self.n_harmonic_functions <= 0:
+                embed = x
+            else:
+                freqs = self.omega0 * (
+                    2.0 ** jnp.arange(self.n_harmonic_functions, dtype=x.dtype)
+                )
+                # (B, T, D, n) -> (B, T, D*n), feature-major like torch .view
+                e = (x[..., None] * freqs).reshape(*x.shape[:-1], -1)
+                embed = jnp.concatenate([jnp.sin(e), jnp.cos(e)], axis=-1)
+            y = self.embed_mlp(embed)  # (B, T, E)
         y = self.channelUpscaling(y[..., None])  # (B, T, E, C)
         return y
+
+
+def ConvEncoder(dimPosIn: int, dimPosEmb: int, conv_nChan: int = 1,
+                dtype=None) -> PoseEncoder:
+    """Working re-design of the reference's broken ``ConvEncoder``.
+
+    The reference module (conv_mixer/encoding/conv_encoder.py:4-30) is dead
+    code AND crashes on construction (no ``super().__init__()``, :5-13). Its
+    evident intent: a ``Conv2d(1, dimPosEmb, kernel=(1, dimPosIn))`` pose
+    embedding followed by the same Linear(1, conv_nChan) channel upscaling
+    as PoseEncoder. A conv whose kernel spans the FULL feature width at
+    stride 1 is exactly a Dense over features — so the working equivalent
+    is ``PoseEncoder`` with the harmonic embedding disabled, which computes
+    precisely ``Dense(dimPosEmb)(x)`` then the channel upscale. This factory
+    documents that identity and returns that configuration.
+    """
+    return PoseEncoder(
+        dimPosIn=dimPosIn, dimPosEmb=dimPosEmb, conv_nChan=conv_nChan,
+        n_harmonic_functions=0, dtype=dtype,
+    )

@@ -211,6 +211,12 @@ class ConvMixer(nn.Module):
     use_max_pooling: bool = False
     encoder_n_harmonic_functions: int = 64
     encoder_omega0: float = 0.1
+    # fuse the harmonic encoder into one Pallas kernel (training-path HBM
+    # traffic eliminator; ops/pallas_harmonic.py). f32 only.
+    encoder_fused: bool = False
+    # input is the precomputed harmonic embedding (corpus-level cache;
+    # Trainer precompute_embed). Params/checkpoints unchanged.
+    encoder_precomputed: bool = False
     # computation dtype (params stay f32); jnp.bfloat16 = TPU mixed precision
     dtype: Optional[Any] = None
 
@@ -222,6 +228,8 @@ class ConvMixer(nn.Module):
             n_harmonic_functions=self.encoder_n_harmonic_functions,
             omega0=self.encoder_omega0,
             dtype=self.dtype,
+            fused=self.encoder_fused,
+            precomputed=self.encoder_precomputed,
         )
         self.Mixer_Block = [
             ConvMixerBlock(

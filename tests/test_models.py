@@ -183,3 +183,43 @@ def test_bfloat16_compute_dtype():
     x54 = jnp.asarray(rs.randn(6, 10, 54).astype(np.float32) * 0.5)
     vm = mlp.init(jax.random.PRNGKey(1), x54, training=False)
     assert mlp.apply(vm, x54, training=False).dtype == jnp.bfloat16
+
+
+def test_conv_encoder_equals_full_width_conv():
+    """Working ConvEncoder re-design: a Conv2d spanning the full feature
+    width IS a Dense over features (the reference's conv_encoder.py:4-30
+    intent — the module itself crashes on construction). Verified against a
+    real torch Conv2d with the same weights."""
+    import jax
+    import torch
+
+    from motionmixerconv_tpu.models import ConvEncoder
+
+    B, T, D, E, C = 4, 10, 66, 50, 3
+    enc = ConvEncoder(dimPosIn=D, dimPosEmb=E, conv_nChan=C)
+    rs = np.random.RandomState(7)
+    x = rs.randn(B, T, D).astype(np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = np.asarray(enc.apply(variables, jnp.asarray(x)))  # (B, T, E, C)
+    assert y.shape == (B, T, E, C)
+
+    # torch reference computation with the SAME weights:
+    # conv_in: Conv2d(1, E, kernel=(1, D)) on [B,1,T,D] -> [B,E,T,1],
+    # channelUpscaling: Linear(1, C) -> [B,E,T,C], transpose -> [B,C,T,E]
+    conv = torch.nn.Conv2d(1, E, kernel_size=(1, D))
+    lin = torch.nn.Linear(1, C)
+    with torch.no_grad():
+        w = np.asarray(variables["params"]["embed_mlp"]["kernel"])  # (D, E)
+        conv.weight.copy_(torch.from_numpy(w.T.reshape(E, 1, 1, D)))
+        conv.bias.copy_(torch.from_numpy(
+            np.asarray(variables["params"]["embed_mlp"]["bias"])))
+        wu = np.asarray(variables["params"]["channelUpscaling"]["kernel"])
+        lin.weight.copy_(torch.from_numpy(wu.T))  # (C, 1)
+        lin.bias.copy_(torch.from_numpy(
+            np.asarray(variables["params"]["channelUpscaling"]["bias"])))
+        yt = conv(torch.from_numpy(x).unsqueeze(1))  # [B, E, T, 1]
+        yt = lin(yt).transpose(1, 3)  # [B, C, T, E]
+    # our layout is (B, T, E, C) == torch [B, C, T, E] transposed
+    np.testing.assert_allclose(
+        y, yt.numpy().transpose(0, 2, 3, 1), atol=2e-5
+    )
