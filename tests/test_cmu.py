@@ -124,3 +124,35 @@ def test_cmu_test_split_reseed_quirk(corpus):
     local0 = starts[:n_per_file]
     local1 = starts[n_per_file:] - file_len
     np.testing.assert_array_equal(local0, local1)
+
+
+def test_cmu_trainable_end_to_end(corpus):
+    """Beyond-reference capability: the CMU corpus drives the standard
+    Trainer (the reference defines CMU loaders but never wires them into a
+    training path). One scanned epoch + eval on the xyz corpus."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionmixerconv_tpu.models import MlpMixer
+    from motionmixerconv_tpu.train import Trainer, make_optimizer
+
+    ds = CMUDataset(corpus, 10, 10, actions=["basketball"], split=0,
+                    mode="xyz")
+    dim_used = ds.dimensions_to_use
+    model = MlpMixer(
+        num_classes=len(dim_used), num_blocks=1, hidden_dim=16,
+        tokens_mlp_dim=8, channels_mlp_dim=16, seq_len=10, pred_len=10,
+        activation="gelu", regularization=0.0, input_size=len(dim_used),
+        r_se=4, use_se=True,
+    )
+    tr = Trainer(
+        model, make_optimizer(lr=1e-3, steps_per_epoch=10),
+        loss_type="mpjpe", dim_used=dim_used, input_n=10, output_n=10,
+        input_scale=1.0,
+    )
+    state = tr.init_state(jax.random.PRNGKey(0))
+    frames = jnp.asarray(ds.frames)
+    state, loss = tr.train_epoch(state, ds, frames, batch_size=32, seed=0)
+    assert np.isfinite(loss) and loss > 0
+    val = tr.validate(state, ds, frames, batch_size=32)
+    assert np.isfinite(val)
