@@ -10,9 +10,15 @@ TPU mapping:
 - teacher forcing: every step's input comes from ground truth, so steps are
   *independent* — all rollout windows are folded into the batch axis and run
   as ONE forward (the reference's sequential loop is S× slower for no reason).
-- closed loop: the carried window makes steps sequential -> ``jax.lax.scan``
-  with the (B, input_n_model, D) window as carry; gradients flow through the
-  scan exactly like the reference's single backward through the Python loop.
+- closed loop: the carried window makes steps sequential. The loop is
+  UNROLLED (n_steps is small and static — 5 in every production config):
+  reverse-mode through ``lax.scan`` residual-saves and runs a backward scan
+  that blocks XLA fusion across step boundaries, measured 3.4x slower than
+  the unrolled chain at the production config (tools/perf_probe10.py: grad
+  scan 26.96 ms vs unrolled 7.94 ms per b50 step). Gradients flow through
+  the unrolled chain exactly like the reference's single backward through
+  its Python loop (train_autoreg_mixer_h36m.py:233-253 — no detach on the
+  fed-back predictions).
 """
 
 from __future__ import annotations
@@ -108,23 +114,22 @@ def autoregressive_rollout(
             )
         return per_sample, full_predict
 
-    # closed loop: carry the input window through a scan.
+    # closed loop: carry the input window through an UNROLLED chain (see
+    # module docstring for the measured scan-vs-unroll adjudication).
     if input_n_model - step_window + output_n_model != input_n_model:
         raise ValueError(
             "closed-loop rollout requires output_n_model == step_window "
             "(the reference feedback concat keeps the window length fixed, "
             "train_autoreg_mixer_h36m.py:241-253)"
         )
-    window0 = full_sequence[:, :input_n_model]
-
-    def step(window, gt):
+    window = full_sequence[:, :input_n_model]
+    losses = []
+    preds = []
+    for s in range(n_steps):
         pred = apply_fn(window)
-        loss = loss_per_sample(pred, gt)
-        reused = window[:, step_window:]  # last (in_m - step) frames
-        new_window = jnp.concatenate([reused, pred], axis=1)
-        return new_window, (loss, pred)
-
-    _, (losses, preds) = jax.lax.scan(step, window0, gt_steps)
-    per_sample = jnp.sum(losses, axis=0) / n_norm
-    full_predict = jnp.moveaxis(preds, 0, 1).reshape(b, n_steps * output_n_model, d)
+        losses.append(loss_per_sample(pred, gt_steps[s]))
+        preds.append(pred)
+        window = jnp.concatenate([window[:, step_window:], pred], axis=1)
+    per_sample = sum(losses) / n_norm
+    full_predict = jnp.concatenate(preds, axis=1)
     return per_sample, full_predict
