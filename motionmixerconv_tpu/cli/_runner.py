@@ -228,6 +228,17 @@ def _train_and_evaluate(
                "metrics": {metric_names[0]: [], metric_names[1]: []}}
     autoreg = teacher_forcing_epochs is not None
 
+    epd = int(getattr(args, "epochs_per_dispatch", 1) or 1)
+    if epd > 1 and batch_order_fn is None:
+        return _train_and_evaluate_fused(
+            args, trainer, state, logger, log_dir,
+            dataset, frames, vald, vframes,
+            test_frames, test_starts, test_gids, action_names,
+            test_kind=test_kind, metric_names=metric_names,
+            m1_scale=m1_scale, teacher_forcing_epochs=teacher_forcing_epochs,
+            start_epoch=start_epoch, history=history, epd=epd,
+        )
+
     for epoch in range(start_epoch, args.n_epochs):
         t0 = time.time()
         with profile_trace(profile_dir_from_env() if epoch == 0 else None):
@@ -277,6 +288,87 @@ def _train_and_evaluate(
             f"test {m1_avg:.4f} ({time.time() - t0:.1f}s)"
         )
 
+    return history, state
+
+
+def _chunk_epochs(start: int, stop: int, epd: int, tf_boundary=None):
+    """Split [start, stop) into chunks of <= epd epochs, never straddling the
+    teacher-forcing boundary (the TF flag is static in the fused program)."""
+    cuts = [start, stop]
+    if tf_boundary is not None and start < tf_boundary < stop:
+        cuts.insert(1, tf_boundary)
+    chunks = []
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        e = lo
+        while e < hi:
+            chunks.append(range(e, min(e + epd, hi)))
+            e += epd
+    return chunks
+
+
+def _train_and_evaluate_fused(
+    args, trainer, state, logger, log_dir,
+    dataset, frames, vald, vframes,
+    test_frames, test_starts, test_gids, action_names,
+    *, test_kind, metric_names, m1_scale, teacher_forcing_epochs,
+    start_epoch, history, epd,
+):
+    """Epoch driver with ``--epochs_per_dispatch`` > 1: each chunk of K epochs
+    (train + val + per-action test) runs as ONE XLA dispatch
+    (Trainer.run_epochs_fused) and comes back as per-epoch metric arrays, so
+    the TensorBoard/JSONL/stdout history is per-epoch exactly like the
+    default path. The observable differences: checkpoints are written once
+    per chunk (the reference overwrites model.pt every epoch, so the final
+    artifact is identical) and perf/train_seq_per_sec is the chunk-amortized
+    rate.
+    """
+    autoreg = teacher_forcing_epochs is not None
+    for chunk in _chunk_epochs(start_epoch, args.n_epochs, epd,
+                               teacher_forcing_epochs if autoreg else None):
+        epochs = list(chunk)
+        tf = (epochs[0] < teacher_forcing_epochs) if autoreg else None
+        t0 = time.time()
+        state, out = trainer.run_epochs_fused(
+            state, dataset, frames, args.batch_size, epochs,
+            vald, vframes, test_frames, test_starts, test_gids,
+            len(action_names), test_kind, args.batch_size_test,
+            teacher_forcing=tf,
+        )
+        if autoreg and not np.all(np.isfinite(out["train"])):
+            raise FloatingPointError(
+                "Loss is nan — closed-loop rollout diverged "
+                "(try --clip_grad or more teacher-forcing epochs)")
+        chunk_s = time.time() - t0
+        seq_per_s = len(dataset) * len(epochs) / max(chunk_s, 1e-9)
+        for i, epoch in enumerate(epochs):
+            train_loss = float(out["train"][i])
+            val_loss = float(out["val"][i])
+            m1s, m2s, ns = out["m1"][i], out["m2"][i], out["n"][i]
+            per_action = {
+                a: (m1s[j] / ns[j] * m1_scale, m2s[j] / ns[j])
+                for j, a in enumerate(action_names)
+            }
+            m1_avg = m1s.sum() / ns.sum() * m1_scale
+            m2_avg = m2s.sum() / ns.sum()
+            history["train"].append(train_loss)
+            history["val"].append(val_loss)
+            history["test"].append(m1_avg)
+            history["per_action"] = per_action
+            history["metrics"][metric_names[0]].append(m1_avg)
+            history["metrics"][metric_names[1]].append(m2_avg)
+            logger.add_scalar("perf/train_seq_per_sec", seq_per_s, epoch)
+            logger.add_scalar("loss/train", train_loss, epoch)
+            logger.add_scalar("loss/val", val_loss, epoch)
+            logger.add_scalar("loss/test", m1_avg, epoch)
+            logger.add_scalar(f"metrics/{metric_names[0]}", m1_avg, epoch)
+            logger.add_scalar(f"metrics/{metric_names[1]}", m2_avg, epoch)
+            tf_note = f"tf={epoch < teacher_forcing_epochs} " if autoreg else ""
+            print(
+                f"epoch {epoch}: {tf_note}train {train_loss:.4f} "
+                f"val {val_loss:.4f} test {m1_avg:.4f} "
+                f"({chunk_s / len(epochs):.1f}s, fused x{len(epochs)})"
+            )
+        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epochs[-1])
     return history, state
 
 
@@ -587,6 +679,43 @@ def run_amass(args, model=None, model_name: Optional[str] = None,
 
     amass_test = make_amass_test_fn(trainer)
     history = {"train": [], "val": [], "test": []}
+
+    epd = int(getattr(args, "epochs_per_dispatch", 1) or 1)
+    if epd > 1:
+        # fused multi-epoch dispatch (see _train_and_evaluate_fused); the
+        # "amass22" eval kind was registered by make_amass_test_fn above.
+        for chunk in _chunk_epochs(0, args.n_epochs, epd):
+            epochs = list(chunk)
+            t0 = time.time()
+            state, out = trainer.run_epochs_fused(
+                state, dataset, frames, args.batch_size, epochs,
+                vald, vframes, tframes, test.window_starts,
+                np.zeros(len(test), np.int64), 1, "amass22", args.batch_size,
+            )
+            chunk_s = time.time() - t0
+            seq_per_s = len(dataset) * len(epochs) / max(chunk_s, 1e-9)
+            for i, epoch in enumerate(epochs):
+                train_loss = float(out["train"][i])
+                val_loss = float(out["val"][i])
+                test_loss = float(out["m1"][i][0] / max(out["n"][i][0], 1.0))
+                history["train"].append(train_loss)
+                history["val"].append(val_loss)
+                history["test"].append(test_loss)
+                logger.add_scalar("perf/train_seq_per_sec", seq_per_s, epoch)
+                logger.add_scalar("loss/train", train_loss, epoch)
+                logger.add_scalar("loss/val", val_loss, epoch)
+                logger.add_scalar("loss/test", test_loss, epoch)
+                print(
+                    f"epoch {epoch}: train {train_loss:.3f} val {val_loss:.3f} "
+                    f"test {test_loss:.3f}mm ({chunk_s / len(epochs):.1f}s, "
+                    f"fused x{len(epochs)})"
+                )
+            save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epochs[-1])
+            if getattr(args, "model_path", None):
+                save_checkpoint(args.model_path, state, epochs[-1])
+        logger.close()
+        return history, state, trainer
+
     for epoch in range(args.n_epochs):
         t0 = time.time()
         with profile_trace(profile_dir_from_env() if epoch == 0 else None):

@@ -47,6 +47,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--kernel1_x", default=1, type=int)
     parser.add_argument("--kernel1_y", default=3, type=int)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--epochs_per_dispatch", type=int, default=1,
+                        help="fuse K whole epochs (train+val+test) into one "
+                             "XLA dispatch; amortizes per-epoch host-sync "
+                             "latency on remote/tunneled runtimes (per-epoch "
+                             "metrics are unchanged; checkpoints write once "
+                             "per chunk)")
     return parser.parse_args(argv)
 
 

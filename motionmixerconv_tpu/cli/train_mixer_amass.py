@@ -36,6 +36,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--batch_size_test", type=int, default=256)
     parser.add_argument("--loss_type", type=str, default="mpjpe", choices=["mpjpe"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--epochs_per_dispatch", type=int, default=1,
+                        help="fuse K whole epochs (train+val+test) into one "
+                             "XLA dispatch; amortizes per-epoch host-sync "
+                             "latency on remote/tunneled runtimes (per-epoch "
+                             "metrics are unchanged; checkpoints write once "
+                             "per chunk)")
 
     args, _ = parser.parse_known_args(argv)
     stage2 = argparse.ArgumentParser(parents=[parser])

@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model_type", type=str, default="conv",
                         choices=["conv", "mlp"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--epochs_per_dispatch", type=int, default=1,
+                        help="fuse K whole epochs (train+val+test) into one "
+                             "XLA dispatch; amortizes per-epoch host-sync "
+                             "latency on remote/tunneled runtimes (per-epoch "
+                             "metrics are unchanged; checkpoints write once "
+                             "per chunk)")
     parser.add_argument("--visualize", action="store_true",
                         help="export prediction-vs-gt GIFs after training")
     parser.add_argument("--resume", type=str, default=None,

@@ -233,6 +233,19 @@ class AutoregressiveTrainer(Trainer):
 
     # ------------------------------------------------------------ epoch APIs
 
+    def _epoch_train_impl_for(self, teacher_forcing):
+        """Bind the static TF flag for the fused multi-epoch scan (a chunk
+        is all-TF or all-closed-loop; the runner splits at the boundary)."""
+        if teacher_forcing is None:
+            raise ValueError(
+                "AutoregressiveTrainer.run_epochs_fused needs an explicit "
+                "teacher_forcing flag per chunk")
+
+        def impl(st, frames, starts, w):
+            return self._ar_epoch_scan_impl(st, frames, starts, w, teacher_forcing)
+
+        return impl
+
     def train_epoch_ar(
         self, state, corpus: WindowedCorpus, frames, batch_size: int, seed: int,
         teacher_forcing: bool, scan: bool = True,

@@ -311,19 +311,9 @@ class Trainer:
             n += k
         return state, total / max(n, 1)
 
-    def evaluate_grouped(
-        self, state: TrainState, frames, window_starts: np.ndarray,
-        group_ids: np.ndarray, n_groups: int, batch_size: int, kind: str,
-    ):
-        """Grouped (e.g. per-action) evaluation in ONE jitted scan dispatch.
-
-        The reference evaluates each action with its own dataset + loader
-        (train_mixer_h36m.py:311-323); here every group's windows live in one
-        corpus and per-group sums come from segment reductions inside a
-        single lax.scan over batches.
-
-        Returns (m1_per_group, m2_per_group, n_per_group) numpy arrays.
-        """
+    def _stack_eval_batches(self, window_starts: np.ndarray,
+                            group_ids: np.ndarray, batch_size: int):
+        """Pad + reshape eval windows into (n_batches, bs) scan operands."""
         n = len(window_starts)
         bs = min(batch_size, n)
         if self.mesh is not None:
@@ -337,11 +327,27 @@ class Trainer:
         starts = np.concatenate([window_starts, np.zeros(pad, np.int64)])
         w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
         gids = np.concatenate([group_ids, np.zeros(pad, np.int64)])
-        starts, w, gids = self._put_epoch_batches(
+        return self._put_epoch_batches(
             starts.reshape(n_batches, bs).astype(np.int32),
             w.reshape(n_batches, bs),
             gids.reshape(n_batches, bs).astype(np.int32),
         )
+
+    def evaluate_grouped(
+        self, state: TrainState, frames, window_starts: np.ndarray,
+        group_ids: np.ndarray, n_groups: int, batch_size: int, kind: str,
+    ):
+        """Grouped (e.g. per-action) evaluation in ONE jitted scan dispatch.
+
+        The reference evaluates each action with its own dataset + loader
+        (train_mixer_h36m.py:311-323); here every group's windows live in one
+        corpus and per-group sums come from segment reductions inside a
+        single lax.scan over batches.
+
+        Returns (m1_per_group, m2_per_group, n_per_group) numpy arrays.
+        """
+        starts, w, gids = self._stack_eval_batches(
+            window_starts, group_ids, batch_size)
 
         run = self._grouped_fn(kind, n_groups)
         stacked = np.asarray(run(state.variables(), frames, starts, w, gids))
@@ -476,6 +482,129 @@ class Trainer:
             seq_gt.reshape(b, self.output_n, -1, 3),
         )
         return per_mpjpe, per_auc
+
+    # --------------------------------------------------- fused epoch chunks
+
+    def _epoch_train_impl_for(self, teacher_forcing):
+        """The (state, frames, starts, w) -> (state, loss) epoch impl used by
+        the fused multi-epoch scan; AutoregressiveTrainer overrides this to
+        bind its static teacher_forcing flag."""
+        return self._train_epoch_scan_impl
+
+    def _fused_epochs_fn(self, kind: str, n_groups: int, teacher_forcing):
+        """Cached jit of K epochs (train + val + grouped test) in ONE program."""
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        key = (kind, n_groups, teacher_forcing)
+        if key in self._fused_cache:
+            return self._fused_cache[key]
+        train_impl = self._epoch_train_impl_for(teacher_forcing)
+        # "val" resolves polymorphically: the AR trainer's validation is a
+        # closed-loop rollout (_ar_val_per_sample), not the direct val loss
+        val_fn = self._per_sample_for_kind("val")
+        per_sample_fn = self._per_sample_for_kind(kind)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state, frames, ep_starts, ep_w, vframes, v_starts, v_w,
+                tframes, t_starts, t_w, t_gids):
+            def epoch_body(st, xs):
+                es, ew = xs
+                st, train_loss = train_impl(st, frames, es, ew)
+                variables = st.variables()
+
+                def vstep(c, b):
+                    s, ww = b
+                    per, _ = val_fn(variables, vframes, s)
+                    return (c[0] + jnp.sum(per * ww), c[1] + jnp.sum(ww)), None
+
+                zero = jnp.zeros((), jnp.float32)
+                (vsum, vn), _ = jax.lax.scan(vstep, (zero, zero), (v_starts, v_w))
+                val_loss = vsum / jnp.maximum(vn, 1.0)
+
+                def tstep(c, b):
+                    s, ww, gg = b
+                    p1, p2 = per_sample_fn(variables, tframes, s)
+                    c1, c2, cn = c
+                    return (
+                        c1 + jax.ops.segment_sum(p1 * ww, gg, num_segments=n_groups),
+                        c2 + jax.ops.segment_sum(p2 * ww, gg, num_segments=n_groups),
+                        cn + jax.ops.segment_sum(ww, gg, num_segments=n_groups),
+                    ), None
+
+                gzero = jnp.zeros((n_groups,), jnp.float32)
+                (m1, m2, nn), _ = jax.lax.scan(
+                    tstep, (gzero, gzero, gzero), (t_starts, t_w, t_gids))
+                return st, (train_loss, val_loss, m1, m2, nn)
+
+            state, outs = jax.lax.scan(epoch_body, state, (ep_starts, ep_w))
+            return state, outs
+
+        self._fused_cache[key] = run
+        return run
+
+    def run_epochs_fused(
+        self, state: TrainState, corpus: WindowedCorpus, frames,
+        batch_size: int, seeds, vald: WindowedCorpus, vframes,
+        tframes, test_starts: np.ndarray, test_gids: np.ndarray,
+        n_groups: int, test_kind: str, batch_size_test: int,
+        teacher_forcing=None,
+    ):
+        """Run ``len(seeds)`` whole epochs — train + val + grouped test each —
+        as ONE XLA dispatch (``lax.scan`` over epochs around the existing
+        scan-over-batches phase impls).
+
+        TPU-native rationale: the reference (and the default per-epoch path)
+        pays 3 dispatches + host syncs per epoch plus a params fetch for the
+        per-epoch checkpoint; on a tunneled runtime each sync is a ~28-30 ms
+        relay round trip, which dominates the 0.2 s of actual device work per
+        epoch. Chunking K epochs into one program amortizes that to 1 sync
+        per chunk while returning bit-identical per-epoch scalar histories
+        (the per-epoch metric arrays come back stacked).
+
+        ``seeds``: one shuffle seed per epoch (the default driver uses the
+        epoch index, matching train_epoch(seed=epoch)).
+        ``teacher_forcing``: None for the direct trainer; True/False for the
+        autoregressive trainer (a chunk must not straddle the TF boundary —
+        the flag is static in the compiled program).
+
+        Returns (state, per-epoch dict) where each entry is a numpy array of
+        leading dimension K: train/val losses and per-group test sums
+        (m1, m2, n) matching evaluate_grouped's accumulators.
+        """
+        all_starts, all_w = [], []
+        for seed in seeds:
+            ep_s, ep_w = [], []
+            for starts, w in batch_starts(corpus, batch_size, shuffle=True,
+                                          seed=seed):
+                ep_s.append(starts)
+                ep_w.append(w)
+            all_starts.append(np.stack(ep_s))
+            all_w.append(np.stack(ep_w))
+        ep_starts = np.stack(all_starts)  # (K, n_batches, B)
+        ep_w = np.stack(all_w)
+        if self._batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(None, None, "data"))
+            ep_starts = jax.device_put(jnp.asarray(ep_starts), sh)
+            ep_w = jax.device_put(jnp.asarray(ep_w), sh)
+        else:
+            ep_starts = jnp.asarray(ep_starts)
+            ep_w = jnp.asarray(ep_w)
+
+        v_starts, v_w, _ = self._stack_eval_batches(
+            vald.window_starts, np.zeros(len(vald), np.int64), batch_size)
+        t_starts, t_w, t_gids = self._stack_eval_batches(
+            test_starts, test_gids, batch_size_test)
+
+        run = self._fused_epochs_fn(test_kind, n_groups, teacher_forcing)
+        state, (tl, vl, m1, m2, nn) = run(
+            state, frames, ep_starts, ep_w, vframes, v_starts, v_w,
+            tframes, t_starts, t_w, t_gids)
+        return state, {
+            "train": np.asarray(tl), "val": np.asarray(vl),
+            "m1": np.asarray(m1), "m2": np.asarray(m2), "n": np.asarray(nn),
+        }
 
     def evaluate(
         self, state: TrainState, corpus: WindowedCorpus, frames, batch_size: int,
