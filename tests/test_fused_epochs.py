@@ -141,6 +141,39 @@ def test_ar_fused_matches_per_epoch_loop():
                                    atol=1e-6)
 
 
+def test_fused_mesh_matches_single_device():
+    """run_epochs_fused under an 8-device data-parallel mesh == unsharded."""
+    from motionmixerconv_tpu.parallel import make_mesh
+
+    seq_len = IN_N + OUT_N
+    frames = _frames(500, 30)
+    corpus = _corpus(frames, 96, 31, seq_len)
+    vald = _corpus(frames, 40, 32, seq_len)
+    test_starts = np.asarray(_corpus(frames, 48, 33, seq_len).window_starts)
+    test_gids = np.repeat(np.arange(3), 16)
+    epochs = [0, 1]
+
+    results = []
+    for mesh in (None, make_mesh()):
+        tr = _conv_trainer(mesh=mesh)
+        st = tr.init_state(jax.random.PRNGKey(9))
+        st, out = tr.run_epochs_fused(
+            st, corpus, frames, 32, epochs, vald, frames,
+            frames, test_starts, test_gids, 3, "simple", 32)
+        results.append((st, out))
+
+    (st_a, out_a), (st_b, out_b) = results
+    np.testing.assert_allclose(out_b["train"], out_a["train"], rtol=1e-5)
+    np.testing.assert_allclose(out_b["val"], out_a["val"], rtol=1e-5)
+    np.testing.assert_allclose(out_b["m1"], out_a["m1"], rtol=1e-4)
+    # sharded gradient all-reduce changes float summation order; tolerance =
+    # TestDataParallel.test_data_parallel_equivalence's 1e-5 x 2 epochs of
+    # drift accumulation
+    for a, b in zip(jax.tree_util.tree_leaves(st_a.params),
+                    jax.tree_util.tree_leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 def test_direct_trainer_rejects_tf_flag():
     tr = _conv_trainer()
     # the direct trainer ignores teacher_forcing=None; the AR trainer
