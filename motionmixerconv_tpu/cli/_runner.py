@@ -229,6 +229,11 @@ def _train_and_evaluate(
     autoreg = teacher_forcing_epochs is not None
 
     epd = int(getattr(args, "epochs_per_dispatch", 1) or 1)
+    if epd > 1 and batch_order_fn is not None:
+        print(
+            ">>> --epochs_per_dispatch ignored: an explicit batch-order "
+            "stream (parity run) requires the per-epoch path"
+        )
     if epd > 1 and batch_order_fn is None:
         return _train_and_evaluate_fused(
             args, trainer, state, logger, log_dir,
@@ -293,17 +298,99 @@ def _train_and_evaluate(
 
 def _chunk_epochs(start: int, stop: int, epd: int, tf_boundary=None):
     """Split [start, stop) into chunks of <= epd epochs, never straddling the
-    teacher-forcing boundary (the TF flag is static in the fused program)."""
+    teacher-forcing boundary (the TF flag is static in the fused program).
+
+    Every distinct chunk length K compiles a separate fused program, and on
+    the tunneled runtime a remote compile (~20-60 s) can dwarf what fusion
+    saves — so per segment: if epd does not divide the length, prefer the
+    largest divisor in [ceil(epd/2), epd] (one compiled shape, at most 2x
+    the dispatches); otherwise balance the chunk sizes (at most two shapes,
+    differing by one) instead of leaving a lopsided remainder chunk.
+    """
     cuts = [start, stop]
     if tf_boundary is not None and start < tf_boundary < stop:
         cuts.insert(1, tf_boundary)
     chunks = []
     for lo, hi in zip(cuts[:-1], cuts[1:]):
+        length = hi - lo
+        if length <= 0:
+            continue
+        if length % epd == 0:
+            sizes = [epd] * (length // epd)
+        else:
+            div = next(
+                (d for d in range(min(epd, length), (epd + 1) // 2 - 1, -1)
+                 if length % d == 0),
+                None,
+            )
+            if div is not None:
+                sizes = [div] * (length // div)
+            else:
+                n_chunks = -(-length // epd)
+                base, extra = divmod(length, n_chunks)
+                sizes = [base + 1] * extra + [base] * (n_chunks - extra)
+                print(
+                    f">>> epochs_per_dispatch={epd} does not divide "
+                    f"{length} epochs: using chunk sizes {base + 1}/{base} "
+                    "(two compiled programs)"
+                )
         e = lo
-        while e < hi:
-            chunks.append(range(e, min(e + epd, hi)))
-            e += epd
+        for s in sizes:
+            chunks.append(range(e, e + s))
+            e += s
     return chunks
+
+
+def _run_fused_chunks(
+    args, trainer, state, epd, *,
+    dataset, frames, vald, vframes, test_frames, test_starts, test_gids,
+    n_groups, test_kind, batch_size_test, start_epoch, tf_boundary,
+    nan_guard, log_epoch, save_chunk,
+):
+    """Shared ``--epochs_per_dispatch`` chunk loop (used by the grouped-eval
+    driver and the AMASS runner): iterate _chunk_epochs, run each chunk as
+    ONE XLA dispatch (Trainer.run_epochs_fused), then replay the chunk's
+    per-epoch metric arrays through ``log_epoch(epoch, i, out, seq_per_s,
+    per_epoch_s, k)`` and checkpoint via ``save_chunk(state, last_epoch)``.
+
+    The first chunk runs under profile_trace (same contract as the default
+    path's epoch 0). With ``nan_guard`` (the autoregressive trainer's
+    guardrail, autoreg_trainer.py:264-270), a chunk whose train losses go
+    non-finite still logs its finite prefix of epochs before raising, so a
+    divergence at epoch k of a chunk does not discard the metrics of the
+    k-1 good epochs (the last checkpoint is the previous chunk's — the
+    intermediate device state of a fused chunk is not observable).
+    """
+    for ci, chunk in enumerate(
+        _chunk_epochs(start_epoch, args.n_epochs, epd, tf_boundary)
+    ):
+        epochs = list(chunk)
+        tf = (epochs[0] < tf_boundary) if tf_boundary is not None else None
+        t0 = time.time()
+        with profile_trace(profile_dir_from_env() if ci == 0 else None):
+            state, out = trainer.run_epochs_fused(
+                state, dataset, frames, args.batch_size, epochs,
+                vald, vframes, test_frames, test_starts, test_gids,
+                n_groups, test_kind, batch_size_test,
+                teacher_forcing=tf,
+            )
+        chunk_s = time.time() - t0
+        seq_per_s = len(dataset) * len(epochs) / max(chunk_s, 1e-9)
+        finite = np.isfinite(out["train"])
+        n_good = len(epochs) if (not nan_guard or np.all(finite)) else int(
+            np.argmin(finite)
+        )
+        for i, epoch in enumerate(epochs[:n_good]):
+            log_epoch(epoch, i, out, seq_per_s, chunk_s / len(epochs),
+                      len(epochs))
+        if n_good < len(epochs):
+            raise FloatingPointError(
+                f"Loss is nan at epoch {epochs[n_good]} — closed-loop "
+                "rollout diverged (try --clip_grad or more teacher-forcing "
+                f"epochs); logged {n_good} finite epochs of this chunk, "
+                "last checkpoint is the previous chunk's")
+        save_chunk(state, epochs[-1])
+    return state
 
 
 def _train_and_evaluate_fused(
@@ -323,52 +410,50 @@ def _train_and_evaluate_fused(
     rate.
     """
     autoreg = teacher_forcing_epochs is not None
-    for chunk in _chunk_epochs(start_epoch, args.n_epochs, epd,
-                               teacher_forcing_epochs if autoreg else None):
-        epochs = list(chunk)
-        tf = (epochs[0] < teacher_forcing_epochs) if autoreg else None
-        t0 = time.time()
-        state, out = trainer.run_epochs_fused(
-            state, dataset, frames, args.batch_size, epochs,
-            vald, vframes, test_frames, test_starts, test_gids,
-            len(action_names), test_kind, args.batch_size_test,
-            teacher_forcing=tf,
+
+    def log_epoch(epoch, i, out, seq_per_s, per_epoch_s, k):
+        train_loss = float(out["train"][i])
+        val_loss = float(out["val"][i])
+        m1s, m2s, ns = out["m1"][i], out["m2"][i], out["n"][i]
+        per_action = {
+            a: (m1s[j] / ns[j] * m1_scale, m2s[j] / ns[j])
+            for j, a in enumerate(action_names)
+        }
+        m1_avg = m1s.sum() / ns.sum() * m1_scale
+        m2_avg = m2s.sum() / ns.sum()
+        history["train"].append(train_loss)
+        history["val"].append(val_loss)
+        history["test"].append(m1_avg)
+        history["per_action"] = per_action
+        history["metrics"][metric_names[0]].append(m1_avg)
+        history["metrics"][metric_names[1]].append(m2_avg)
+        logger.add_scalar("perf/train_seq_per_sec", seq_per_s, epoch)
+        logger.add_scalar("loss/train", train_loss, epoch)
+        logger.add_scalar("loss/val", val_loss, epoch)
+        logger.add_scalar("loss/test", m1_avg, epoch)
+        logger.add_scalar(f"metrics/{metric_names[0]}", m1_avg, epoch)
+        logger.add_scalar(f"metrics/{metric_names[1]}", m2_avg, epoch)
+        tf_note = f"tf={epoch < teacher_forcing_epochs} " if autoreg else ""
+        print(
+            f"epoch {epoch}: {tf_note}train {train_loss:.4f} "
+            f"val {val_loss:.4f} test {m1_avg:.4f} "
+            f"({per_epoch_s:.1f}s, fused x{k})"
         )
-        if autoreg and not np.all(np.isfinite(out["train"])):
-            raise FloatingPointError(
-                "Loss is nan — closed-loop rollout diverged "
-                "(try --clip_grad or more teacher-forcing epochs)")
-        chunk_s = time.time() - t0
-        seq_per_s = len(dataset) * len(epochs) / max(chunk_s, 1e-9)
-        for i, epoch in enumerate(epochs):
-            train_loss = float(out["train"][i])
-            val_loss = float(out["val"][i])
-            m1s, m2s, ns = out["m1"][i], out["m2"][i], out["n"][i]
-            per_action = {
-                a: (m1s[j] / ns[j] * m1_scale, m2s[j] / ns[j])
-                for j, a in enumerate(action_names)
-            }
-            m1_avg = m1s.sum() / ns.sum() * m1_scale
-            m2_avg = m2s.sum() / ns.sum()
-            history["train"].append(train_loss)
-            history["val"].append(val_loss)
-            history["test"].append(m1_avg)
-            history["per_action"] = per_action
-            history["metrics"][metric_names[0]].append(m1_avg)
-            history["metrics"][metric_names[1]].append(m2_avg)
-            logger.add_scalar("perf/train_seq_per_sec", seq_per_s, epoch)
-            logger.add_scalar("loss/train", train_loss, epoch)
-            logger.add_scalar("loss/val", val_loss, epoch)
-            logger.add_scalar("loss/test", m1_avg, epoch)
-            logger.add_scalar(f"metrics/{metric_names[0]}", m1_avg, epoch)
-            logger.add_scalar(f"metrics/{metric_names[1]}", m2_avg, epoch)
-            tf_note = f"tf={epoch < teacher_forcing_epochs} " if autoreg else ""
-            print(
-                f"epoch {epoch}: {tf_note}train {train_loss:.4f} "
-                f"val {val_loss:.4f} test {m1_avg:.4f} "
-                f"({chunk_s / len(epochs):.1f}s, fused x{len(epochs)})"
-            )
-        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epochs[-1])
+
+    def save_chunk(chunk_state, last_epoch):
+        save_checkpoint(os.path.join(log_dir, "model.ckpt"), chunk_state,
+                        last_epoch)
+
+    state = _run_fused_chunks(
+        args, trainer, state, epd,
+        dataset=dataset, frames=frames, vald=vald, vframes=vframes,
+        test_frames=test_frames, test_starts=test_starts,
+        test_gids=test_gids, n_groups=len(action_names),
+        test_kind=test_kind, batch_size_test=args.batch_size_test,
+        start_epoch=start_epoch,
+        tf_boundary=teacher_forcing_epochs if autoreg else None,
+        nan_guard=autoreg, log_epoch=log_epoch, save_chunk=save_chunk,
+    )
     return history, state
 
 
@@ -682,37 +767,39 @@ def run_amass(args, model=None, model_name: Optional[str] = None,
 
     epd = int(getattr(args, "epochs_per_dispatch", 1) or 1)
     if epd > 1:
-        # fused multi-epoch dispatch (see _train_and_evaluate_fused); the
-        # "amass22" eval kind was registered by make_amass_test_fn above.
-        for chunk in _chunk_epochs(0, args.n_epochs, epd):
-            epochs = list(chunk)
-            t0 = time.time()
-            state, out = trainer.run_epochs_fused(
-                state, dataset, frames, args.batch_size, epochs,
-                vald, vframes, tframes, test.window_starts,
-                np.zeros(len(test), np.int64), 1, "amass22", args.batch_size,
+        # fused multi-epoch dispatch (shared chunk loop); the "amass22" eval
+        # kind was registered by make_amass_test_fn above.
+        def log_epoch(epoch, i, out, seq_per_s, per_epoch_s, k):
+            train_loss = float(out["train"][i])
+            val_loss = float(out["val"][i])
+            test_loss = float(out["m1"][i][0] / max(out["n"][i][0], 1.0))
+            history["train"].append(train_loss)
+            history["val"].append(val_loss)
+            history["test"].append(test_loss)
+            logger.add_scalar("perf/train_seq_per_sec", seq_per_s, epoch)
+            logger.add_scalar("loss/train", train_loss, epoch)
+            logger.add_scalar("loss/val", val_loss, epoch)
+            logger.add_scalar("loss/test", test_loss, epoch)
+            print(
+                f"epoch {epoch}: train {train_loss:.3f} val {val_loss:.3f} "
+                f"test {test_loss:.3f}mm ({per_epoch_s:.1f}s, fused x{k})"
             )
-            chunk_s = time.time() - t0
-            seq_per_s = len(dataset) * len(epochs) / max(chunk_s, 1e-9)
-            for i, epoch in enumerate(epochs):
-                train_loss = float(out["train"][i])
-                val_loss = float(out["val"][i])
-                test_loss = float(out["m1"][i][0] / max(out["n"][i][0], 1.0))
-                history["train"].append(train_loss)
-                history["val"].append(val_loss)
-                history["test"].append(test_loss)
-                logger.add_scalar("perf/train_seq_per_sec", seq_per_s, epoch)
-                logger.add_scalar("loss/train", train_loss, epoch)
-                logger.add_scalar("loss/val", val_loss, epoch)
-                logger.add_scalar("loss/test", test_loss, epoch)
-                print(
-                    f"epoch {epoch}: train {train_loss:.3f} val {val_loss:.3f} "
-                    f"test {test_loss:.3f}mm ({chunk_s / len(epochs):.1f}s, "
-                    f"fused x{len(epochs)})"
-                )
-            save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epochs[-1])
+
+        def save_chunk(chunk_state, last_epoch):
+            save_checkpoint(os.path.join(log_dir, "model.ckpt"), chunk_state,
+                            last_epoch)
             if getattr(args, "model_path", None):
-                save_checkpoint(args.model_path, state, epochs[-1])
+                save_checkpoint(args.model_path, chunk_state, last_epoch)
+
+        state = _run_fused_chunks(
+            args, trainer, state, epd,
+            dataset=dataset, frames=frames, vald=vald, vframes=vframes,
+            test_frames=tframes, test_starts=test.window_starts,
+            test_gids=np.zeros(len(test), np.int64), n_groups=1,
+            test_kind="amass22", batch_size_test=args.batch_size,
+            start_epoch=0, tf_boundary=None, nan_guard=False,
+            log_epoch=log_epoch, save_chunk=save_chunk,
+        )
         logger.close()
         return history, state, trainer
 

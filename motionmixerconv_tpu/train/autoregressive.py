@@ -11,7 +11,9 @@ TPU mapping:
   *independent* — all rollout windows are folded into the batch axis and run
   as ONE forward (the reference's sequential loop is S× slower for no reason).
 - closed loop: the carried window makes steps sequential. The loop is
-  UNROLLED (n_steps is small and static — 5 in every production config):
+  UNROLLED up to UNROLL_MAX_STEPS (n_steps is small and static — 5 in every
+  production config; longer rollouts fall back to lax.scan to bound the
+  compiled program size):
   reverse-mode through ``lax.scan`` residual-saves and runs a backward scan
   that blocks XLA fusion across step boundaries, measured 3.4x slower than
   the unrolled chain at the production config (tools/perf_probe10.py: grad
@@ -28,6 +30,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Closed-loop rollouts up to this many steps are unrolled (measured 3.4x
+# faster in reverse-mode than lax.scan at the production n_steps=5,
+# tools/perf_probe10.py); longer rollouts use lax.scan to keep the compiled
+# program O(1) in n_steps (an unrolled chain embeds n_steps forward+backward
+# model copies per scan-epoch step — minutes-scale remote compiles).
+UNROLL_MAX_STEPS = 8
 
 
 def rollout_starts(
@@ -123,13 +132,30 @@ def autoregressive_rollout(
             "train_autoreg_mixer_h36m.py:241-253)"
         )
     window = full_sequence[:, :input_n_model]
-    losses = []
-    preds = []
-    for s in range(n_steps):
-        pred = apply_fn(window)
-        losses.append(loss_per_sample(pred, gt_steps[s]))
-        preds.append(pred)
-        window = jnp.concatenate([window[:, step_window:], pred], axis=1)
-    per_sample = sum(losses) / n_norm
-    full_predict = jnp.concatenate(preds, axis=1)
+    if n_steps <= UNROLL_MAX_STEPS:
+        losses = []
+        preds = []
+        for s in range(n_steps):
+            pred = apply_fn(window)
+            losses.append(loss_per_sample(pred, gt_steps[s]))
+            preds.append(pred)
+            window = jnp.concatenate([window[:, step_window:], pred], axis=1)
+        per_sample = sum(losses) / n_norm
+        full_predict = jnp.concatenate(preds, axis=1)
+        return per_sample, full_predict
+
+    # long rollouts: unrolling would inline n_steps forward+backward model
+    # copies into the (epoch-scanned) program and blow up remote-compile
+    # time, so fall back to lax.scan — O(1) program size, ~3.4x slower
+    # reverse-mode at the production n_steps=5 (which stays unrolled).
+    def step(carry, gt):
+        pred = apply_fn(carry)
+        new_window = jnp.concatenate([carry[:, step_window:], pred], axis=1)
+        return new_window, (loss_per_sample(pred, gt), pred)
+
+    _, (losses, preds) = jax.lax.scan(step, window, gt_steps)
+    per_sample = jnp.sum(losses, axis=0) / n_norm
+    full_predict = jnp.moveaxis(preds, 0, 1).reshape(
+        b, n_steps * output_n_model, d
+    )
     return per_sample, full_predict

@@ -209,3 +209,89 @@ def test_cli_fused_matches_default(tmp_path):
     for k in h_def["metrics"]:
         np.testing.assert_allclose(h_fused["metrics"][k], h_def["metrics"][k],
                                    rtol=1e-4)
+
+
+class TestChunkEpochs:
+    """_chunk_epochs sizing: cover [start, stop) exactly, never straddle the
+    TF boundary, and bound the number of distinct chunk lengths (each
+    distinct length is a separate remote compile)."""
+
+    @staticmethod
+    def _chunks(*a, **k):
+        from motionmixerconv_tpu.cli._runner import _chunk_epochs
+        return [list(c) for c in _chunk_epochs(*a, **k)]
+
+    def test_exact_division(self):
+        assert self._chunks(0, 12, 4) == [[0, 1, 2, 3], [4, 5, 6, 7],
+                                          [8, 9, 10, 11]]
+
+    def test_divisor_preferred_over_remainder(self):
+        # 10 % 4 != 0 but 2 divides 10 and 2 >= ceil(4/2): one compiled
+        # shape (5 chunks of 2) instead of 4+4+2 (two shapes).
+        chunks = self._chunks(0, 10, 4)
+        assert [len(c) for c in chunks] == [2] * 5
+
+    def test_balanced_fallback_for_prime_length(self):
+        # 7 has no divisor in [2, 4] -> two near-equal chunks (4, 3), never
+        # a lopsided 4+3 vs 4+2+1 tail.
+        chunks = self._chunks(0, 7, 4)
+        assert [len(c) for c in chunks] == [4, 3]
+
+    def test_tf_boundary_never_straddled(self):
+        chunks = self._chunks(0, 10, 4, 3)
+        flat = [e for c in chunks for e in c]
+        assert flat == list(range(10))
+        for c in chunks:
+            assert all(e < 3 for e in c) or all(e >= 3 for e in c)
+
+    def test_coverage_exhaustive(self):
+        for stop in range(1, 23):
+            for epd in range(1, 9):
+                for tf in (None, 1, stop // 2, stop):
+                    chunks = self._chunks(0, stop, epd, tf)
+                    flat = [e for c in chunks for e in c]
+                    assert flat == list(range(stop)), (stop, epd, tf)
+                    assert all(len(c) <= epd for c in chunks)
+                    # at most two distinct lengths per boundary segment
+                    if tf is None or not (0 < tf < stop):
+                        assert len({len(c) for c in chunks}) <= 2
+
+
+class TestRunFusedChunksNanGuard:
+    """With nan_guard, a chunk whose train losses go non-finite still logs
+    its finite prefix before raising (autoreg_trainer.py NaN guardrail)."""
+
+    def test_finite_prefix_logged_then_raises(self):
+        from types import SimpleNamespace
+        from motionmixerconv_tpu.cli._runner import _run_fused_chunks
+
+        logged, saved = [], []
+
+        class FakeTrainer:
+            def run_epochs_fused(self, state, dataset, frames, bs, epochs,
+                                 *a, **k):
+                # chunk [0,1]: finite; chunk [2,3]: epoch 2 finite, 3 NaN
+                train = np.array(
+                    [1.0 if e < 3 else np.nan for e in epochs])
+                out = {"train": train,
+                       "val": np.zeros(len(epochs)),
+                       "m1": np.ones((len(epochs), 1)),
+                       "m2": np.ones((len(epochs), 1)),
+                       "n": np.ones((len(epochs), 1))}
+                return state + 1, out
+
+        args = SimpleNamespace(n_epochs=4, batch_size=8)
+        with pytest.raises(FloatingPointError, match="epoch 3"):
+            _run_fused_chunks(
+                args, FakeTrainer(), 0, 2,
+                dataset=[0] * 16, frames=None, vald=None, vframes=None,
+                test_frames=None, test_starts=None, test_gids=None,
+                n_groups=1, test_kind="simple", batch_size_test=8,
+                start_epoch=0, tf_boundary=None, nan_guard=True,
+                log_epoch=lambda epoch, i, out, *a: logged.append(epoch),
+                save_chunk=lambda st, last: saved.append(last),
+            )
+        # epochs 0,1 (chunk 1) and the finite epoch 2 of chunk 2 are logged;
+        # only chunk 1 reached its checkpoint.
+        assert logged == [0, 1, 2]
+        assert saved == [1]

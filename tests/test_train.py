@@ -344,3 +344,42 @@ def test_mesh_grouped_eval_small_corpus(h36m_dir):
     np.testing.assert_allclose(m2a, m2b, rtol=1e-5)
     np.testing.assert_array_equal(na, nb)
     assert float(na[0]) == n
+
+
+class TestLongRolloutScanFallback:
+    """Closed-loop rollouts longer than UNROLL_MAX_STEPS fall back to
+    lax.scan; the scan path must match the unrolled chain (values AND
+    gradients) bit-for-float."""
+
+    @staticmethod
+    def _run(w):
+        # tiny linear "model": pred = mean of the window scaled by w
+        def apply_fn(x):  # (B, 4, D) -> (B, 2, D)
+            return jnp.stack([x[:, -1] * w, x[:, -2] * w], axis=1)
+
+        rs = np.random.RandomState(3)
+        seq = jnp.asarray(rs.randn(5, 4 + 20, 6).astype(np.float32))
+        per_sample, pred = autoregressive_rollout(
+            apply_fn, seq, input_n_model=4, output_n_model=2, step_window=2,
+            teacher_forcing=False, loss_per_sample=_per_sample_mpjpe,
+        )
+        return per_sample, pred
+
+    def test_scan_matches_unrolled(self, monkeypatch):
+        from motionmixerconv_tpu.train import autoregressive as ar_mod
+
+        # n_steps = 20 // 2 = 10 > UNROLL_MAX_STEPS=8 -> default is scan
+        assert 10 > ar_mod.UNROLL_MAX_STEPS
+        loss_scan, pred_scan = self._run(jnp.float32(0.9))
+        g_scan = jax.grad(lambda w: jnp.mean(self._run(w)[0]))(
+            jnp.float32(0.9))
+
+        monkeypatch.setattr(ar_mod, "UNROLL_MAX_STEPS", 100)
+        loss_unr, pred_unr = self._run(jnp.float32(0.9))
+        g_unr = jax.grad(lambda w: jnp.mean(self._run(w)[0]))(
+            jnp.float32(0.9))
+
+        np.testing.assert_allclose(loss_scan, loss_unr, rtol=1e-6)
+        np.testing.assert_allclose(pred_scan, pred_unr, rtol=1e-6)
+        assert pred_scan.shape == (5, 10 * 2, 6)
+        np.testing.assert_allclose(g_scan, g_unr, rtol=1e-5)
