@@ -77,6 +77,7 @@ def build_conv_mixer(args, dim_in: int, dim_out: int, in_ntp: int, out_ntp: int)
         encoder_n_harmonic_functions=getattr(args, "encoder_n_harmonic_functions", 64),
         encoder_omega0=getattr(args, "encoder_omega0", 0.1),
         encoder_fused=getattr(args, "fused_encoder", False),
+        encoder_harmonic_impl=getattr(args, "harmonic_impl", "direct"),
     )
 
 

@@ -66,6 +66,19 @@ def build_parser() -> argparse.ArgumentParser:
                              "SLOWER than XLA on v5e — kept as the "
                              "reproduction of DESIGN.md §6's training-"
                              "kernel adjudication, ops/pallas_harmonic.py)")
+    parser.add_argument("--harmonic_impl", default="direct",
+                        choices=("direct", "doubling"),
+                        help="harmonic-encoder trig: 'direct' = reference "
+                             "numerics (sin/cos of every harmonic), "
+                             "'doubling' = normalized angle-doubling "
+                             "recurrence (one transcendental pair; equal "
+                             "to 'direct' within each method's own f32 "
+                             "precision, not bit-identical). Measured a "
+                             "WASH on the flagship step (the trig it "
+                             "removes is hidden behind the same HBM "
+                             "traffic) — kept as the reproduction of "
+                             "DESIGN.md §6's adjudication, "
+                             "tools/perf_probe13/14.py")
     return parser
 
 

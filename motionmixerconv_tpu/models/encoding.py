@@ -30,6 +30,7 @@ class _FusedHarmonicDense(nn.Module):
     d_in: int
     n_harmonic: int
     omega0: float
+    impl: str = "direct"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -44,6 +45,7 @@ class _FusedHarmonicDense(nn.Module):
         fn = make_fused_harmonic_dense(
             self.d_in, self.features, self.n_harmonic, self.omega0,
             interpret=jax.default_backend() != "tpu",
+            impl=self.impl,
         )
         lead = x.shape[:-1]
         out = fn(x.reshape(-1, self.d_in), kernel, bias)
@@ -75,8 +77,21 @@ class PoseEncoder(nn.Module):
     # Bit-identical values (same jnp.sin on the same inputs, just batched
     # over the corpus); params unchanged.
     precomputed: bool = False
+    # "direct" (reference numerics: sin/cos of every harmonic argument) or
+    # "doubling" (normalized angle-doubling recurrence — one transcendental
+    # pair + n-1 cheap vector steps; see _doubling_harmonics). Opt-in:
+    # matches direct to the precision either method actually has (both are
+    # f32-noise above harmonic ~26 at production scales), but is NOT
+    # bit-identical, so goldens/checkpoint-parity paths keep "direct".
+    harmonic_impl: str = "direct"
 
     def setup(self):
+        if self.harmonic_impl != "direct" and self.precomputed:
+            raise ValueError(
+                "harmonic_impl='doubling' does not combine with the "
+                "corpus-level embedding cache (precompute_embed computes "
+                "direct trig once — there is no per-step trig to eliminate)"
+            )
         if self.n_harmonic_functions <= 0:
             dim_harmonic = self.dimPosIn
         else:
@@ -85,7 +100,8 @@ class PoseEncoder(nn.Module):
             self.embed_mlp = _FusedHarmonicDense(
                 dim_harmonic=dim_harmonic, features=self.dimPosEmb,
                 d_in=self.dimPosIn, n_harmonic=self.n_harmonic_functions,
-                omega0=self.omega0, name="embed_mlp",
+                omega0=self.omega0, impl=self.harmonic_impl,
+                name="embed_mlp",
             )
             self._use_fused = True
         else:
@@ -96,14 +112,54 @@ class PoseEncoder(nn.Module):
                                       name="channelUpscaling", dtype=self.dtype)
 
     @staticmethod
-    def harmonic_features(x: jnp.ndarray, n_harmonic: int,
-                          omega0: float) -> jnp.ndarray:
+    def harmonic_features(x: jnp.ndarray, n_harmonic: int, omega0: float,
+                          impl: str = "direct") -> jnp.ndarray:
         """(..., D) -> (..., 2*n*D) sin/cos features, the reference layout
         (positional_encoder.py:86-89). The corpus-level cache applies this
         once over all frames."""
+        if impl == "doubling":
+            return PoseEncoder._doubling_harmonics(x, n_harmonic, omega0)
+        if impl != "direct":
+            raise ValueError(f"unknown harmonic impl {impl!r}")
         freqs = omega0 * (2.0 ** jnp.arange(n_harmonic, dtype=x.dtype))
         e = (x[..., None] * freqs).reshape(*x.shape[:-1], -1)
         return jnp.concatenate([jnp.sin(e), jnp.cos(e)], axis=-1)
+
+    @staticmethod
+    def _doubling_harmonics(x: jnp.ndarray, n_harmonic: int,
+                            omega0: float) -> jnp.ndarray:
+        """Harmonic features via a normalized angle-doubling recurrence.
+
+        The frequencies are geometric (omega0 * 2**i,
+        positional_encoder.py:79-84), so sin/cos of every harmonic follow
+        from ONE transcendental pair: with z_i = (c_i, s_i) on the unit
+        circle, z_{i+1} = z_i^2 — i.e. s' = 2 s c, c' = (c - s)(c + s).
+        Both expressions are homogeneous of degree 2, so dividing by
+        r = s^2 + c^2 each step pins the radius to 1 exactly (the
+        unnormalized recurrence overflows to NaN past harmonic ~28 in f32).
+
+        This replaces 2*n transcendental evaluations per element with one
+        sin/cos pair plus (n-1) ~8-flop vector steps — the VPU-trig
+        eliminator for the encoder-bound training step (docs/DESIGN.md §6).
+        NOT bit-identical to "direct": below the f32 noise crossover
+        (harmonic ~26 at production input scales, where |angle| reaches
+        2^24) both methods agree to each other's own f64 error; above it
+        both are deterministic uniform-on-circle noise — the reference's
+        torch.sin of ~1e17-radian f32 angles carries no information either.
+        Measured band: tools/perf_probe13.py; tests/test_models.py pins the
+        agreement band and the unit-circle bound.
+        """
+        a = omega0 * x
+        s, c = jnp.sin(a), jnp.cos(a)
+        sins, coss = [s], [c]
+        for _ in range(n_harmonic - 1):
+            inv = 1.0 / (s * s + c * c)
+            s, c = 2.0 * (s * c) * inv, (c - s) * (c + s) * inv
+            sins.append(s)
+            coss.append(c)
+        sin = jnp.stack(sins, axis=-1).reshape(*x.shape[:-1], -1)
+        cos = jnp.stack(coss, axis=-1).reshape(*x.shape[:-1], -1)
+        return jnp.concatenate([sin, cos], axis=-1)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.precomputed and self.n_harmonic_functions > 0:
@@ -114,12 +170,10 @@ class PoseEncoder(nn.Module):
             if self.n_harmonic_functions <= 0:
                 embed = x
             else:
-                freqs = self.omega0 * (
-                    2.0 ** jnp.arange(self.n_harmonic_functions, dtype=x.dtype)
+                embed = self.harmonic_features(
+                    x, self.n_harmonic_functions, self.omega0,
+                    impl=self.harmonic_impl,
                 )
-                # (B, T, D, n) -> (B, T, D*n), feature-major like torch .view
-                e = (x[..., None] * freqs).reshape(*x.shape[:-1], -1)
-                embed = jnp.concatenate([jnp.sin(e), jnp.cos(e)], axis=-1)
             y = self.embed_mlp(embed)  # (B, T, E)
         y = self.channelUpscaling(y[..., None])  # (B, T, E, C)
         return y

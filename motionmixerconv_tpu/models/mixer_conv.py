@@ -217,6 +217,10 @@ class ConvMixer(nn.Module):
     # input is the precomputed harmonic embedding (corpus-level cache;
     # Trainer precompute_embed). Params/checkpoints unchanged.
     encoder_precomputed: bool = False
+    # "direct" (reference trig numerics) or "doubling" (normalized
+    # angle-doubling recurrence, ~one transcendental pair total — the
+    # VPU-trig eliminator; see PoseEncoder._doubling_harmonics).
+    encoder_harmonic_impl: str = "direct"
     # computation dtype (params stay f32); jnp.bfloat16 = TPU mixed precision
     dtype: Optional[Any] = None
 
@@ -230,6 +234,7 @@ class ConvMixer(nn.Module):
             dtype=self.dtype,
             fused=self.encoder_fused,
             precomputed=self.encoder_precomputed,
+            harmonic_impl=self.encoder_harmonic_impl,
         )
         self.Mixer_Block = [
             ConvMixerBlock(

@@ -39,29 +39,64 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(n_harmonic: int, tile_rows: int, d_in: int, e_out: int):
+def _double(s, c):
+    """One normalized angle-doubling step: (sin a, cos a) -> (sin 2a, cos 2a).
+
+    Both doubling expressions are homogeneous of degree 2, so dividing by
+    r = s^2 + c^2 pins the radius to 1 exactly — the unnormalized recurrence
+    overflows past ~28 doublings in f32 (see
+    models/encoding.py PoseEncoder._doubling_harmonics, the XLA twin).
+    """
+    inv = 1.0 / (s * s + c * c)
+    return 2.0 * (s * c) * inv, (c - s) * (c + s) * inv
+
+
+def _fwd_kernel(n_harmonic: int, tile_rows: int, d_in: int, e_out: int,
+                impl: str = "direct"):
     def body(freqs_ref, x_ref, w_ref, b_ref, out_ref):
         x = x_ref[:]  # (TR, D)
 
-        def step(i, acc):
-            f = freqs_ref[0, i]
-            xi = x * f
-            acc = acc + jnp.dot(jnp.sin(xi), w_ref[0, i],
-                                preferred_element_type=jnp.float32)
-            acc = acc + jnp.dot(jnp.cos(xi), w_ref[1, i],
-                                preferred_element_type=jnp.float32)
-            return acc
+        if impl == "doubling":
+            # ONE transcendental pair; each harmonic's features come from
+            # the carried (s, c) — the VPU-trig eliminator (the direct
+            # kernel's 2n sin/cos per element are the measured floor of
+            # the training step, docs/DESIGN.md §6).
+            def step(i, carry):
+                s, c, acc = carry
+                acc = acc + jnp.dot(s, w_ref[0, i],
+                                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(c, w_ref[1, i],
+                                    preferred_element_type=jnp.float32)
+                s, c = _double(s, c)
+                return s, c, acc
 
-        acc = jax.lax.fori_loop(
-            0, n_harmonic, step,
-            jnp.zeros((tile_rows, e_out), jnp.float32),
-        )
+            a = x * freqs_ref[0, 0]  # f_0 = omega0
+            _, _, acc = jax.lax.fori_loop(
+                0, n_harmonic, step,
+                (jnp.sin(a), jnp.cos(a),
+                 jnp.zeros((tile_rows, e_out), jnp.float32)),
+            )
+        else:
+            def step(i, acc):
+                f = freqs_ref[0, i]
+                xi = x * f
+                acc = acc + jnp.dot(jnp.sin(xi), w_ref[0, i],
+                                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(jnp.cos(xi), w_ref[1, i],
+                                    preferred_element_type=jnp.float32)
+                return acc
+
+            acc = jax.lax.fori_loop(
+                0, n_harmonic, step,
+                jnp.zeros((tile_rows, e_out), jnp.float32),
+            )
         out_ref[:] = acc + b_ref[:]
 
     return body
 
 
-def _bwd_kernel(n_harmonic: int, tile_rows: int, d_in: int, e_out: int):
+def _bwd_kernel(n_harmonic: int, tile_rows: int, d_in: int, e_out: int,
+                impl: str = "direct"):
     def body(freqs_ref, x_ref, g_ref, w_ref, dw_ref, db_ref, dx_ref):
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -72,11 +107,8 @@ def _bwd_kernel(n_harmonic: int, tile_rows: int, d_in: int, e_out: int):
         g = g_ref[:]          # (TR, E)
         db_ref[:] += jnp.sum(g, axis=0, keepdims=True)
 
-        def step(i, dx):
-            f = freqs_ref[0, i]
-            xi = x * f
-            s = jnp.sin(xi)
-            c = jnp.cos(xi)
+        def accum(i, s, c, dx):
+            """Harmonic i's contributions given its (sin, cos) features."""
             # dW[i] = embed_tile^T @ g   — contract the row axis
             dw_ref[0, i] += jax.lax.dot_general(
                 s, g, (((0,), (0,)), ((), ())),
@@ -84,19 +116,38 @@ def _bwd_kernel(n_harmonic: int, tile_rows: int, d_in: int, e_out: int):
             dw_ref[1, i] += jax.lax.dot_general(
                 c, g, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            # dx += f * (cos(xi) * (g @ Ws^T) - sin(xi) * (g @ Wc^T))
+            # dx += f * (cos * (g @ Ws^T) - sin * (g @ Wc^T))
             gs = jax.lax.dot_general(
                 g, w_ref[0, i], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             gc = jax.lax.dot_general(
                 g, w_ref[1, i], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            return dx + f * (c * gs - s * gc)
+            return dx + freqs_ref[0, i] * (c * gs - s * gc)
 
-        dx_ref[:] = jax.lax.fori_loop(
-            0, n_harmonic, step,
-            jnp.zeros((tile_rows, d_in), jnp.float32),
-        )
+        if impl == "doubling":
+            def step(i, carry):
+                s, c, dx = carry
+                dx = accum(i, s, c, dx)
+                s, c = _double(s, c)
+                return s, c, dx
+
+            a = x * freqs_ref[0, 0]
+            _, _, dx = jax.lax.fori_loop(
+                0, n_harmonic, step,
+                (jnp.sin(a), jnp.cos(a),
+                 jnp.zeros((tile_rows, d_in), jnp.float32)),
+            )
+            dx_ref[:] = dx
+        else:
+            def step(i, dx):
+                xi = x * freqs_ref[0, i]
+                return accum(i, jnp.sin(xi), jnp.cos(xi), dx)
+
+            dx_ref[:] = jax.lax.fori_loop(
+                0, n_harmonic, step,
+                jnp.zeros((tile_rows, d_in), jnp.float32),
+            )
 
     return body
 
@@ -108,6 +159,7 @@ def make_fused_harmonic_dense(
     omega0: float,
     tile_rows: int = 256,
     interpret: bool = False,
+    impl: str = "direct",
 ) -> Callable:
     """Build ``fn(x2d, kernel, bias) -> (R, E)`` with a custom VJP.
 
@@ -118,11 +170,22 @@ def make_fused_harmonic_dense(
         omega0: base frequency; f_i = omega0 * 2**i.
         tile_rows: rows per kernel tile (R is zero-padded to a multiple).
         interpret: run in the Pallas interpreter (CPU tests).
+        impl: "direct" (sin/cos per harmonic — exact reference numerics) or
+            "doubling" (normalized angle-doubling recurrence: ONE sin/cos
+            pair per element, each harmonic from the carried (s, c) — the
+            trig recompute that made the direct kernel lose to XLA becomes
+            ~8 VPU flops per harmonic). The doubling VJP uses the analytic
+            gradient d sin(f_i x)/dx = f_i cos(f_i x) evaluated at the
+            recurrence's own (s_i, c_i) — the gradient of the ideal
+            function both impls approximate, matching the direct kernel's
+            formula (not strict autodiff through the recurrence).
 
     ``kernel`` is the flax Dense layout (2*n*d_in, e_out); ``bias`` (e_out,).
     """
     if n_harmonic <= 0:
         raise ValueError("fused harmonic dense needs n_harmonic > 0")
+    if impl not in ("direct", "doubling"):
+        raise ValueError(f"unknown harmonic impl {impl!r}")
     freqs = jnp.asarray(
         (omega0 * (2.0 ** np.arange(n_harmonic)))[None, :], jnp.float32
     )
@@ -148,7 +211,7 @@ def make_fused_harmonic_dense(
         xp, r = _pad_rows(x2d)
         grid = xp.shape[0] // tile_rows
         out = pl.pallas_call(
-            _fwd_kernel(n_harmonic, tile_rows, d_in, e_out),
+            _fwd_kernel(n_harmonic, tile_rows, d_in, e_out, impl),
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec((1, n_harmonic), lambda i: (0, 0),
@@ -173,7 +236,7 @@ def make_fused_harmonic_dense(
         gp, _ = _pad_rows(g)
         grid = xp.shape[0] // tile_rows
         dw, db, dxp = pl.pallas_call(
-            _bwd_kernel(n_harmonic, tile_rows, d_in, e_out),
+            _bwd_kernel(n_harmonic, tile_rows, d_in, e_out, impl),
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec((1, n_harmonic), lambda i: (0, 0),

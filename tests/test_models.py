@@ -7,6 +7,7 @@ variable tree (models/torch_io.py) and compares forward passes.
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -223,3 +224,114 @@ def test_conv_encoder_equals_full_width_conv():
     np.testing.assert_allclose(
         y, yt.numpy().transpose(0, 2, 3, 1), atol=2e-5
     )
+
+
+class TestDoublingHarmonics:
+    """encoder_harmonic_impl='doubling': the normalized angle-doubling
+    recurrence (PoseEncoder._doubling_harmonics). It must agree with the
+    direct trig below the f32 noise crossover, stay exactly on the unit
+    circle at every harmonic (the unnormalized recurrence overflows to NaN
+    past ~28 doublings), and train end-to-end."""
+
+    N, D = 512, 6
+
+    def _x(self):
+        rs = np.random.RandomState(0)
+        # production scale: mm frames * input_scale 1e-3 -> x ~ N(0, 0.3)
+        return jnp.asarray((rs.randn(self.N, self.D) * 0.3).astype(np.float32))
+
+    def test_low_harmonics_match_direct(self):
+        from motionmixerconv_tpu.models.encoding import PoseEncoder
+
+        x, n = self._x(), 64
+        direct = np.asarray(PoseEncoder.harmonic_features(x, n, 0.1))
+        doubling = np.asarray(
+            PoseEncoder.harmonic_features(x, n, 0.1, impl="doubling"))
+        # layout: [sin(D, n) flattened, cos(D, n) flattened]
+        for block in (direct, doubling):
+            assert block.shape == (self.N, 2 * n * self.D)
+        d = direct.reshape(self.N, 2, self.D, n)
+        r = doubling.reshape(self.N, 2, self.D, n)
+        # below the crossover both methods carry real signal and must agree;
+        # tolerances follow the doubling's own error growth (~2x/harmonic,
+        # see tools/perf_probe13.py and the docstring's error analysis)
+        np.testing.assert_allclose(r[..., :8], d[..., :8], atol=1e-4)
+        np.testing.assert_allclose(r[..., :16], d[..., :16], atol=5e-2)
+
+    def test_unit_circle_everywhere(self):
+        from motionmixerconv_tpu.models.encoding import PoseEncoder
+
+        x, n = self._x(), 64
+        emb = np.asarray(
+            PoseEncoder.harmonic_features(x, n, 0.1, impl="doubling"))
+        assert np.all(np.isfinite(emb))
+        e = emb.reshape(self.N, 2, self.D, n)
+        radius = e[:, 0] ** 2 + e[:, 1] ** 2  # sin^2 + cos^2 per harmonic
+        np.testing.assert_allclose(radius, 1.0, atol=1e-5)
+
+    def test_gradients_finite(self):
+        from motionmixerconv_tpu.models.encoding import PoseEncoder
+
+        x = self._x()[:8]
+
+        def f(x):
+            return jnp.sum(
+                PoseEncoder.harmonic_features(x, 64, 0.1, impl="doubling"))
+
+        g = jax.grad(f)(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_unknown_impl_rejected(self):
+        from motionmixerconv_tpu.models.encoding import PoseEncoder
+
+        with pytest.raises(ValueError, match="unknown harmonic impl"):
+            PoseEncoder.harmonic_features(self._x(), 8, 0.1, impl="nope")
+
+    def test_incompatible_with_precomputed(self):
+        from motionmixerconv_tpu.models.encoding import PoseEncoder
+
+        enc = PoseEncoder(dimPosIn=6, dimPosEmb=8,
+                          harmonic_impl="doubling", precomputed=True)
+        with pytest.raises(ValueError, match="doubling"):
+            enc.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 6)))
+
+    def test_trains_like_direct(self):
+        """Same init, same data: 20 train steps with each impl reach the
+        same loss to a few percent (the impls differ only in the f32-noise
+        harmonics, which neither method computes meaningfully)."""
+        from motionmixerconv_tpu.train import Trainer, make_optimizer
+
+        rs = np.random.RandomState(3)
+        frames = jnp.asarray((rs.randn(2000, 24) * 300.0).astype(np.float32))
+        dim_used = np.arange(18)
+        starts = jnp.asarray(
+            rs.randint(0, 2000 - 20, size=(20, 32)).astype(np.int32))
+        w = jnp.ones((20, 32), jnp.float32)
+
+        losses = {}
+        for impl in ("direct", "doubling"):
+            model = ConvMixer(
+                num_blocks=2, dimPosIn=18, dimPosEmb=16, dimPosOut=18,
+                in_nTP=10, out_nTP=10, conv_nChan=1,
+                conv1_kernel_shape=(1, 3), conv1_stride=(1, 1),
+                conv1_padding=(0, 1), mode_conv="twice", activation="mish",
+                regularization=0.0, use_se=True, r_se=4,
+                use_max_pooling=False, encoder_n_harmonic_functions=32,
+                encoder_omega0=0.1, encoder_harmonic_impl=impl,
+            )
+            tr = Trainer(model, make_optimizer(lr=1e-3, steps_per_epoch=20),
+                         loss_type="mpjpe", dim_used=dim_used,
+                         input_n=10, output_n=10, input_scale=1e-3)
+            state = tr.init_state(jax.random.PRNGKey(1))
+            fn = jax.jit(tr._train_epoch_scan_impl)
+            epoch_losses = []
+            for _ in range(3):
+                state, loss = fn(state, frames, starts, w)
+                epoch_losses.append(float(loss))
+            losses[impl] = np.asarray(epoch_losses)
+        assert np.all(np.isfinite(losses["doubling"]))
+        assert losses["doubling"][-1] < losses["doubling"][0]  # it learns
+        # same trajectory to a few percent: the impls differ only in the
+        # f32-noise harmonics, which neither method computes meaningfully
+        np.testing.assert_allclose(losses["doubling"], losses["direct"],
+                                   rtol=5e-2)

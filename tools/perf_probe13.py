@@ -1,0 +1,121 @@
+"""Probe 13: angle-doubling harmonic encoder vs direct trig (full train step).
+
+DESIGN.md §6's decomposition shows the flagship step is floored by VPU
+transcendental throughput: the PoseEncoder evaluates sin/cos of 2*64*D
+harmonic arguments per element (~3.1 ms of the 8.6 ms b2048 step). The
+frequencies are geometric (omega0 * 2**i), so every harmonic follows from
+ONE sin/cos pair via the normalized angle-doubling recurrence
+(PoseEncoder._doubling_harmonics) — ~8 VPU flops per harmonic instead of a
+transcendental pair.
+
+This probe measures the REAL scan-epoch train step (value_and_grad + adam,
+Trainer._train_epoch_scan_impl) with encoder_harmonic_impl "direct" vs
+"doubling" at the production batch sizes, per-rep-synced medians (the
+honest pattern: warm twice, >=3 reps each ending in a device_get of the
+loss). It also prints the epoch-mean loss of both impls from identical init
+so the numerical equivalence is visible in-training.
+
+Writes /tmp/perf_probe13.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_FRAMES = 120000
+INPUT_N, OUTPUT_N = 10, 25
+RESULTS = {}
+
+
+def log(m):
+    print(m, flush=True)
+
+
+def _trainer(impl):
+    from motionmixerconv_tpu.data.constants import H36M_DIM_USED_XYZ
+    from motionmixerconv_tpu.models import ConvMixer
+    from motionmixerconv_tpu.train import Trainer, make_optimizer
+
+    model = ConvMixer(
+        num_blocks=4, dimPosIn=66, dimPosEmb=50, dimPosOut=66,
+        in_nTP=INPUT_N, out_nTP=OUTPUT_N, conv_nChan=1,
+        conv1_kernel_shape=(1, 3), conv1_stride=(1, 1), conv1_padding=(0, 1),
+        mode_conv="twice", activation="mish", regularization=0.1, use_se=True,
+        r_se=8, use_max_pooling=False, encoder_n_harmonic_functions=64,
+        encoder_omega0=0.1, encoder_harmonic_impl=impl,
+    )
+    return Trainer(
+        model, make_optimizer(lr=1e-3, steps_per_epoch=100),
+        loss_type="mpjpe", dim_used=H36M_DIM_USED_XYZ,
+        input_n=INPUT_N, output_n=OUTPUT_N, input_scale=1e-3,
+    )
+
+
+def measure(impl, batch, n_batches, frames, reps=5):
+    import jax
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(1)
+    tr = _trainer(impl)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    n_windows = N_FRAMES - (INPUT_N + OUTPUT_N)
+    starts = jnp.asarray(
+        rs.randint(0, n_windows, size=(n_batches, batch)).astype(np.int32))
+    w = jnp.ones((n_batches, batch), jnp.float32)
+
+    fn = jax.jit(tr._train_epoch_scan_impl)  # no donation: state reused
+
+    def run():
+        _, loss = fn(state, frames, starts, w)
+        return jax.device_get(loss)
+
+    first = run()
+    run()  # absorb the one-time first-exec cost
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
+    return {
+        "impl": impl, "batch": batch, "n_batches": n_batches,
+        "epoch_ms": dt * 1e3, "step_us": dt / n_batches * 1e6,
+        "seq_per_s": n_batches * batch / dt,
+        "spread": (max(ts) - min(ts)) / dt,
+        "epoch_loss": float(first),
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    log(f"device: {getattr(dev, 'device_kind', dev)}")
+    rs = np.random.RandomState(0)
+    frames = jnp.asarray((rs.randn(N_FRAMES, 96) * 300.0).astype(np.float32))
+
+    for batch in (50, 512, 2048):
+        n_batches = max(10, min(200, 12000 // batch * 4))
+        row = {}
+        for impl in ("direct", "doubling"):
+            r = measure(impl, batch, n_batches, frames)
+            row[impl] = r
+            log(f"b{batch} {impl:>8}: {r['step_us']:7.0f} us/step  "
+                f"{r['seq_per_s'] / 1e3:7.1f} k seq/s  "
+                f"spread {r['spread']:.2f}  "
+                f"epoch loss {r['epoch_loss']:.4f}")
+        sp = row["direct"]["step_us"] / row["doubling"]["step_us"]
+        log(f"b{batch}: doubling speedup {sp:.2f}x")
+        RESULTS[f"b{batch}"] = {**row, "speedup": sp}
+
+    with open("/tmp/perf_probe13.json", "w") as f:
+        json.dump(RESULTS, f, indent=2)
+    log("wrote /tmp/perf_probe13.json")
+
+
+if __name__ == "__main__":
+    main()
