@@ -86,11 +86,13 @@ class PoseEncoder(nn.Module):
     harmonic_impl: str = "direct"
 
     def setup(self):
-        if self.harmonic_impl != "direct" and self.precomputed:
+        if (self.harmonic_impl != "direct" and self.precomputed
+                and self.n_harmonic_functions > 0):
             raise ValueError(
-                "harmonic_impl='doubling' does not combine with the "
-                "corpus-level embedding cache (precompute_embed computes "
-                "direct trig once — there is no per-step trig to eliminate)"
+                f"harmonic_impl={self.harmonic_impl!r} does not combine "
+                "with the corpus-level embedding cache (precompute_embed "
+                "computes direct trig once — there is no per-step trig to "
+                "eliminate)"
             )
         if self.n_harmonic_functions <= 0:
             dim_harmonic = self.dimPosIn
@@ -149,12 +151,17 @@ class PoseEncoder(nn.Module):
         Measured band: tools/perf_probe13.py; tests/test_models.py pins the
         agreement band and the unit-circle bound.
         """
+        from ..ops.pallas_harmonic import _double  # the shared step; the
+        # fused kernel and this XLA twin must stay expression-identical
+        # (tests/test_pallas_harmonic.py pins their parity)
+
+        if n_harmonic <= 0:  # match the direct impl's empty feature block
+            return x[..., :0]
         a = omega0 * x
         s, c = jnp.sin(a), jnp.cos(a)
         sins, coss = [s], [c]
         for _ in range(n_harmonic - 1):
-            inv = 1.0 / (s * s + c * c)
-            s, c = 2.0 * (s * c) * inv, (c - s) * (c + s) * inv
+            s, c = _double(s, c)
             sins.append(s)
             coss.append(c)
         sin = jnp.stack(sins, axis=-1).reshape(*x.shape[:-1], -1)

@@ -61,21 +61,27 @@ def _fwd_kernel(n_harmonic: int, tile_rows: int, d_in: int, e_out: int,
             # the carried (s, c) — the VPU-trig eliminator (the direct
             # kernel's 2n sin/cos per element are the measured floor of
             # the training step, docs/DESIGN.md §6).
-            def step(i, carry):
-                s, c, acc = carry
+            def contrib(i, s, c, acc):
                 acc = acc + jnp.dot(s, w_ref[0, i],
                                     preferred_element_type=jnp.float32)
-                acc = acc + jnp.dot(c, w_ref[1, i],
-                                    preferred_element_type=jnp.float32)
+                return acc + jnp.dot(c, w_ref[1, i],
+                                     preferred_element_type=jnp.float32)
+
+            def step(i, carry):
+                s, c, acc = carry
+                acc = contrib(i, s, c, acc)
                 s, c = _double(s, c)
                 return s, c, acc
 
+            # the last harmonic's contribution is peeled so no discarded
+            # doubling step runs on the final iteration
             a = x * freqs_ref[0, 0]  # f_0 = omega0
-            _, _, acc = jax.lax.fori_loop(
-                0, n_harmonic, step,
+            s, c, acc = jax.lax.fori_loop(
+                0, n_harmonic - 1, step,
                 (jnp.sin(a), jnp.cos(a),
                  jnp.zeros((tile_rows, e_out), jnp.float32)),
             )
+            acc = contrib(n_harmonic - 1, s, c, acc)
         else:
             def step(i, acc):
                 f = freqs_ref[0, i]
@@ -132,13 +138,14 @@ def _bwd_kernel(n_harmonic: int, tile_rows: int, d_in: int, e_out: int,
                 s, c = _double(s, c)
                 return s, c, dx
 
+            # last harmonic peeled: no discarded doubling on the final pass
             a = x * freqs_ref[0, 0]
-            _, _, dx = jax.lax.fori_loop(
-                0, n_harmonic, step,
+            s, c, dx = jax.lax.fori_loop(
+                0, n_harmonic - 1, step,
                 (jnp.sin(a), jnp.cos(a),
                  jnp.zeros((tile_rows, d_in), jnp.float32)),
             )
-            dx_ref[:] = dx
+            dx_ref[:] = accum(n_harmonic - 1, s, c, dx)
         else:
             def step(i, dx):
                 xi = x * freqs_ref[0, i]

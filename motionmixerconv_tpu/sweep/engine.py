@@ -12,8 +12,11 @@ run unchanged on either.
 
 from __future__ import annotations
 
+import contextlib
 import json
+import os
 import sqlite3
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional, Sequence
@@ -31,9 +34,13 @@ class Trial:
     _sampler: "Sampler"
     params: dict = field(default_factory=dict)
     user_attrs: dict = field(default_factory=dict)
+    # study lock guarding sampler state under optimize(n_jobs>1); samplers
+    # mutate shared state (grid discovery, TPE history, the random stream)
+    _lock: Any = None
 
     def _suggest(self, name: str, choices: Sequence[Any]) -> Any:
-        value = self._sampler.sample(self.number, name, list(choices))
+        with self._lock or contextlib.nullcontext():
+            value = self._sampler.sample(self.number, name, list(choices))
         self.params[name] = value
         return value
 
@@ -138,10 +145,13 @@ class Study:
         self.study_name = study_name
         self.sampler = sampler or GridSampler()
         self.directions = list(directions)
+        self._lock = threading.RLock()  # guards trials/sampler/sqlite under n_jobs>1
         self._conn = None
         if storage:
             path = storage.replace("sqlite:///", "")
-            self._conn = sqlite3.connect(path)
+            # check_same_thread=False: optimize(n_jobs>1) records trials
+            # from worker threads; every use is serialized by self._lock
+            self._conn = sqlite3.connect(path, check_same_thread=False)
             self._conn.execute(
                 "CREATE TABLE IF NOT EXISTS trials ("
                 "study TEXT, number INTEGER, state TEXT, values_json TEXT, "
@@ -189,20 +199,21 @@ class Study:
 
     def _record(self, trial: Trial, state: str, values: Optional[list]):
         frozen = FrozenTrial(trial.number, state, values, trial.params, trial.user_attrs)
-        self.trials.append(frozen)
-        if state == "COMPLETE" and values and hasattr(self.sampler, "observe"):
-            self.sampler.observe(trial.params, values, self.directions)
-        if self._conn is not None:
-            self._conn.execute(
-                "INSERT INTO trials VALUES (?,?,?,?,?,?,?)",
-                (self.study_name, trial.number, state,
-                 json.dumps(values, default=self._json_default),
-                 json.dumps(trial.params, default=self._json_default),
-                 json.dumps(trial.user_attrs, default=self._json_default),
-                 time.time()),
-            )
-            self._conn.commit()
-        self._persist_spaces()
+        with self._lock:
+            self.trials.append(frozen)
+            if state == "COMPLETE" and values and hasattr(self.sampler, "observe"):
+                self.sampler.observe(trial.params, values, self.directions)
+            if self._conn is not None:
+                self._conn.execute(
+                    "INSERT INTO trials VALUES (?,?,?,?,?,?,?)",
+                    (self.study_name, trial.number, state,
+                     json.dumps(values, default=self._json_default),
+                     json.dumps(trial.params, default=self._json_default),
+                     json.dumps(trial.user_attrs, default=self._json_default),
+                     time.time()),
+                )
+                self._conn.commit()
+            self._persist_spaces()
 
     def _persist_spaces(self):
         """Record the sampler's (grid) space as it is discovered."""
@@ -225,28 +236,109 @@ class Study:
 
     def optimize(self, objective: Callable[[Trial], Any],
                  n_trials: int = 40, timeout: Optional[float] = None,
-                 catch: tuple = ()) -> None:
+                 catch: tuple = (), n_jobs: int = 1,
+                 devices: Optional[Sequence[Any]] = None) -> None:
+        """Run trials; ``n_jobs>1`` runs them on a thread pool (optuna's
+        n_jobs semantics — objectives must be thread-safe; JAX dispatch is,
+        and the study drivers isolate per-trial logdirs by trial number).
+        On an async-dispatch accelerator, concurrent trials overlap host
+        work (data prep, logging) with device execution and interleave
+        small-batch programs that individually underutilize the chip.
+        Parallel runs are NOT run-to-run reproducible for random/TPE
+        samplers (trial->draw assignment depends on thread timing), same
+        as optuna.
+
+        ``devices``: optional sequence of ``jax.Device``s; trial ``i`` runs
+        under ``jax.default_device(devices[i % len(devices)])`` —
+        deterministic round-robin placement regardless of which worker
+        thread picks the trial up, so one sweep fans out over every chip
+        of a pod slice (each trial's jit programs compile for + execute on
+        its own device; trials are independent, no mesh or collectives).
+        When ``devices`` is given and ``n_jobs`` is left at 1, ``n_jobs``
+        defaults to ``len(devices)`` — one worker per device.
+        """
+        if devices is not None and len(devices) == 0:
+            raise ValueError("devices must be a non-empty sequence")
+        if devices is not None and n_jobs == 1:
+            n_jobs = len(devices)
+
+        def placement(trial: Trial):
+            if devices is None:
+                return contextlib.nullcontext()
+            import jax  # deferred: the engine has no hard jax dependency
+            return jax.default_device(devices[trial.number % len(devices)])
+
         t0 = time.time()
-        start = len(self.trials)
-        for i in range(start, start + n_trials):
-            if timeout is not None and time.time() - t0 > timeout:
-                break
-            if isinstance(self.sampler, GridSampler):
-                n_pts = self.sampler.n_points()
-                if n_pts is not None and i >= n_pts:
-                    break  # grid exhausted
-            trial = Trial(number=i, _sampler=self.sampler)
+        state = {"next": len(self.trials), "issued": 0}
+
+        def next_trial() -> Optional[Trial]:
+            with self._lock:
+                if state["issued"] >= n_trials:
+                    return None
+                if timeout is not None and time.time() - t0 > timeout:
+                    return None
+                i = state["next"]
+                if isinstance(self.sampler, GridSampler):
+                    n_pts = self.sampler.n_points()
+                    if n_pts is not None and i >= n_pts:
+                        return None  # grid exhausted
+                state["next"] += 1
+                state["issued"] += 1
+                return Trial(number=i, _sampler=self.sampler,
+                             _lock=self._lock)
+
+        def run_one(trial: Trial) -> None:
             try:
-                result = objective(trial)
+                with placement(trial):
+                    result = objective(trial)
             except TrialPruned:
                 self._record(trial, "PRUNED", None)
-                continue
+                return
             except catch as e:  # reference: catch=(Exception,) (:405)
-                print(f"trial {i} failed: {e}")
+                print(f"trial {trial.number} failed: {e}")
                 self._record(trial, "FAIL", None)
-                continue
-            values = list(result) if isinstance(result, (tuple, list)) else [result]
+                return
+            values = (list(result) if isinstance(result, (tuple, list))
+                      else [result])
             self._record(trial, "COMPLETE", [float(v) for v in values])
+
+        if n_jobs is None or n_jobs == 1:
+            while (trial := next_trial()) is not None:
+                run_one(trial)
+            return
+
+        if n_jobs < 0:  # optuna: -1 = one worker per CPU
+            n_jobs = os.cpu_count() or 1
+
+        # With an undiscovered grid space the FIRST trial must run alone:
+        # the mixed-radix decode needs the full space before any concurrent
+        # trial samples, or grid points would repeat/skip.
+        if isinstance(self.sampler, GridSampler) and not self.sampler._order:
+            trial = next_trial()
+            if trial is None:
+                return
+            run_one(trial)
+
+        # first uncaught objective error; re-raised after join so parallel
+        # matches the sequential path (and optuna), which propagates
+        errors: list[BaseException] = []
+
+        def worker():
+            try:
+                while (trial := next_trial()) is not None:
+                    run_one(trial)
+            except BaseException as e:
+                with self._lock:
+                    errors.append(e)
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(n_jobs)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
 
     @property
     def best_trial(self) -> FrozenTrial:

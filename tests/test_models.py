@@ -287,6 +287,15 @@ class TestDoublingHarmonics:
         with pytest.raises(ValueError, match="unknown harmonic impl"):
             PoseEncoder.harmonic_features(self._x(), 8, 0.1, impl="nope")
 
+    def test_zero_harmonics_empty_like_direct(self):
+        from motionmixerconv_tpu.models.encoding import PoseEncoder
+
+        x = self._x()
+        for n in (0, -1):
+            d = PoseEncoder.harmonic_features(x, n, 0.1)
+            r = PoseEncoder.harmonic_features(x, n, 0.1, impl="doubling")
+            assert d.shape == r.shape == (self.N, 0)
+
     def test_incompatible_with_precomputed(self):
         from motionmixerconv_tpu.models.encoding import PoseEncoder
 

@@ -7,8 +7,10 @@ traffic but lost 0.46-0.56x with direct trig because it pays the sin/cos
 in the forward AND the backward recompute. This probe measures the
 combination — fused kernel with the doubling recurrence (one transcendental
 pair, no materialized embedding) — on the REAL scan-epoch train step,
-against: plain XLA direct (production default), plain XLA doubling, and
-fused direct (the measured loser, for reference).
+against plain XLA direct (production default) and fused direct (the
+measured loser, for reference). The plain-XLA doubling column is probe
+13's measurement (tools/perf_probe13.py) — run both to reproduce the full
+DESIGN.md §6 adjudication table.
 
 Per-rep-synced medians (warm twice, >=3 reps each ending in a device_get
 of the loss). Writes /tmp/perf_probe14.json.
