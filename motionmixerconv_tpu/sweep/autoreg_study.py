@@ -52,6 +52,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--smoothing_alpha", default=0.15, type=float)
     parser.add_argument("--n_trials", default=40, type=int)
     parser.add_argument("--timeout_hours", default=47.0, type=float)
+    parser.add_argument("--n_jobs", default=1, type=int,
+                        help="concurrent trials on a thread pool "
+                             "(optuna's n_jobs; trials overlap host work "
+                             "with device execution)")
+    parser.add_argument("--spread_devices", action="store_true",
+                        help="pin trial i to jax device i%%N — one sweep "
+                             "fans out over every visible chip")
     parser.add_argument("--seed", default=0, type=int)
     return parser.parse_args(argv)
 
@@ -106,6 +113,15 @@ class Objective:
         return self._train(args, trial, "mpjpe", 33)
 
 
+def _trial_devices(args):
+    """jax.devices() when --spread_devices, else None (engine.py optimize)."""
+    if not getattr(args, "spread_devices", False):
+        return None
+    import jax
+
+    return jax.devices()
+
+
 def main(argv=None):
     args = parse_args(argv)
     os.makedirs(args.study_dir, exist_ok=True)
@@ -121,6 +137,8 @@ def main(argv=None):
         n_trials=args.n_trials,
         timeout=args.timeout_hours * 3600,
         catch=(Exception,),
+        n_jobs=args.n_jobs,
+        devices=_trial_devices(args),
     )
     print("Number of finished trials:", len(study.trials))
     return study

@@ -160,6 +160,46 @@ class TestDevicePlacement:
             study.optimize(lambda t: 0.0, n_trials=1, devices=[])
 
 
+class TestStudyCLIFlags:
+    """--n_jobs / --spread_devices reach Study.optimize from each driver."""
+
+    @pytest.mark.parametrize(
+        "mod", ["conv_study", "autoreg_study", "mlp_study"])
+    def test_flags_forwarded(self, mod, tmp_path, monkeypatch):
+        import importlib
+
+        import jax
+
+        m = importlib.import_module(f"motionmixerconv_tpu.sweep.{mod}")
+        captured = {}
+
+        def fake_optimize(self, objective, n_trials=40, timeout=None,
+                          catch=(), n_jobs=1, devices=None):
+            captured.update(n_jobs=n_jobs, devices=devices)
+
+        monkeypatch.setattr(Study, "optimize", fake_optimize)
+        m.main(["--study_dir", str(tmp_path / mod),
+                "--n_jobs", "3", "--spread_devices"])
+        assert captured["n_jobs"] == 3
+        assert list(captured["devices"]) == jax.devices()
+
+    @pytest.mark.parametrize(
+        "mod", ["conv_study", "autoreg_study", "mlp_study"])
+    def test_defaults_stay_sequential(self, mod, tmp_path, monkeypatch):
+        import importlib
+
+        m = importlib.import_module(f"motionmixerconv_tpu.sweep.{mod}")
+        captured = {}
+
+        def fake_optimize(self, objective, n_trials=40, timeout=None,
+                          catch=(), n_jobs=1, devices=None):
+            captured.update(n_jobs=n_jobs, devices=devices)
+
+        monkeypatch.setattr(Study, "optimize", fake_optimize)
+        m.main(["--study_dir", str(tmp_path / mod)])
+        assert captured == {"n_jobs": 1, "devices": None}
+
+
 class TestNJobsTPE:
     def test_tpe_observes_all_trials(self):
         study = Study("t", sampler=TPESampler(seed=3),
