@@ -1,5 +1,15 @@
-from .engine import Study, Trial, GridSampler, RandomSampler, TPESampler, create_study
+from .engine import (
+    GridSampler,
+    MedianPruner,
+    RandomSampler,
+    Study,
+    TPESampler,
+    Trial,
+    TrialPruned,
+    create_study,
+)
 from .optuna_export import export_optuna_sqlite
 
-__all__ = ["Study", "Trial", "GridSampler", "RandomSampler", "TPESampler",
-           "create_study", "export_optuna_sqlite"]
+__all__ = ["Study", "Trial", "TrialPruned", "GridSampler", "RandomSampler",
+           "TPESampler", "MedianPruner", "create_study",
+           "export_optuna_sqlite"]

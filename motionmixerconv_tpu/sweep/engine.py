@@ -4,7 +4,8 @@ The reference drives its studies with optuna (BruteForceSampler + sqlite
 storage, conv_optuna_main.py:371-406). optuna is not a baked-in dependency
 of this environment, so this module provides a small native engine exposing
 the same objective-side API — ``trial.suggest_int/float/categorical``,
-``trial.set_user_attr`` — with sqlite persistence and grid (brute-force) or
+``trial.set_user_attr``, ``trial.report`` + ``trial.should_prune`` (with
+``MedianPruner``) — with sqlite persistence and grid (brute-force) or
 random sampling. When optuna *is* installed, ``create_study(backend="optuna")``
 returns a real optuna study instead; objectives written against this module
 run unchanged on either.
@@ -34,9 +35,11 @@ class Trial:
     _sampler: "Sampler"
     params: dict = field(default_factory=dict)
     user_attrs: dict = field(default_factory=dict)
+    intermediate_values: dict = field(default_factory=dict)
     # study lock guarding sampler state under optimize(n_jobs>1); samplers
     # mutate shared state (grid discovery, TPE history, the random stream)
     _lock: Any = None
+    _study: Any = None  # owning Study; needed by should_prune()
 
     def _suggest(self, name: str, choices: Sequence[Any]) -> Any:
         with self._lock or contextlib.nullcontext():
@@ -60,6 +63,19 @@ class Trial:
 
     def set_user_attr(self, key: str, value: Any) -> None:
         self.user_attrs[key] = value
+
+    def report(self, value: float, step: int) -> None:
+        """Record an intermediate objective value (optuna.Trial.report)."""
+        self.intermediate_values[int(step)] = float(value)
+
+    def should_prune(self) -> bool:
+        """Ask the study's pruner about the latest reported step; the
+        caller raises TrialPruned (optuna's if-should-prune-raise idiom)."""
+        study = self._study
+        if study is None or study.pruner is None:
+            return False
+        with self._lock or contextlib.nullcontext():
+            return study.pruner.prune(study, self)
 
 
 def _continuous(low, high, log):
@@ -134,6 +150,46 @@ class FrozenTrial:
     values: Optional[list]
     params: dict
     user_attrs: dict
+    intermediate_values: dict = field(default_factory=dict)
+
+
+class MedianPruner:
+    """optuna.pruners.MedianPruner semantics: prune when the trial's value
+    reported at step s is worse than the median of COMPLETE trials' values
+    at that same step. ``n_startup_trials`` completed trials are required
+    before any pruning; steps below ``n_warmup_steps`` never prune; only
+    every ``interval_steps``-th step past warmup is checked.
+    """
+
+    def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0,
+                 interval_steps: int = 1):
+        self.n_startup_trials = n_startup_trials
+        self.n_warmup_steps = n_warmup_steps
+        self.interval_steps = max(1, interval_steps)
+
+    def prune(self, study: "Study", trial: Trial) -> bool:
+        if not trial.intermediate_values:
+            return False
+        step = max(trial.intermediate_values)
+        if step < self.n_warmup_steps:
+            return False
+        if (step - self.n_warmup_steps) % self.interval_steps:
+            return False
+        done = [t for t in study.trials if t.state == "COMPLETE"]
+        if len(done) < self.n_startup_trials:
+            return False
+        peers = [t.intermediate_values[step] for t in done
+                 if step in t.intermediate_values]
+        if not peers:
+            return False
+        peers = sorted(peers)
+        n = len(peers)
+        median = (peers[n // 2] if n % 2
+                  else 0.5 * (peers[n // 2 - 1] + peers[n // 2]))
+        value = trial.intermediate_values[step]
+        if study.directions[0] == "maximize":
+            return value < median
+        return value > median
 
 
 class Study:
@@ -141,10 +197,12 @@ class Study:
 
     def __init__(self, study_name: str, storage: Optional[str] = None,
                  sampler: Optional[Sampler] = None,
-                 directions: Sequence[str] = ("minimize",)):
+                 directions: Sequence[str] = ("minimize",),
+                 pruner: Optional[MedianPruner] = None):
         self.study_name = study_name
         self.sampler = sampler or GridSampler()
         self.directions = list(directions)
+        self.pruner = pruner
         self._lock = threading.RLock()  # guards trials/sampler/sqlite under n_jobs>1
         self._conn = None
         if storage:
@@ -160,6 +218,10 @@ class Study:
             self._conn.execute(
                 "CREATE TABLE IF NOT EXISTS spaces ("
                 "study TEXT, ord INTEGER, name TEXT, choices_json TEXT)"
+            )
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS intermediates ("
+                "study TEXT, number INTEGER, step INTEGER, value REAL)"
             )
             self._conn.commit()
         self.trials: list[FrozenTrial] = []
@@ -179,10 +241,18 @@ class Study:
                 "SELECT number, state, values_json, params_json, user_attrs_json "
                 "FROM trials WHERE study=? ORDER BY number", (study_name,)
             ).fetchall()
+            irows = self._conn.execute(
+                "SELECT number, step, value FROM intermediates WHERE study=?",
+                (study_name,)
+            ).fetchall()
+            inter: dict[int, dict] = {}
+            for num, step, value in irows:
+                inter.setdefault(num, {})[step] = value
             for num, st, vals, params, attrs in rows:
                 ft = FrozenTrial(
                     num, st, json.loads(vals) if vals else None,
                     json.loads(params), json.loads(attrs),
+                    inter.get(num, {}),
                 )
                 self.trials.append(ft)
                 if ft.state == "COMPLETE" and ft.values and hasattr(self.sampler, "observe"):
@@ -198,7 +268,8 @@ class Study:
         raise TypeError(f"Object of type {type(o).__name__} is not JSON serializable")
 
     def _record(self, trial: Trial, state: str, values: Optional[list]):
-        frozen = FrozenTrial(trial.number, state, values, trial.params, trial.user_attrs)
+        frozen = FrozenTrial(trial.number, state, values, trial.params,
+                             trial.user_attrs, dict(trial.intermediate_values))
         with self._lock:
             self.trials.append(frozen)
             if state == "COMPLETE" and values and hasattr(self.sampler, "observe"):
@@ -211,6 +282,11 @@ class Study:
                      json.dumps(trial.params, default=self._json_default),
                      json.dumps(trial.user_attrs, default=self._json_default),
                      time.time()),
+                )
+                self._conn.executemany(
+                    "INSERT INTO intermediates VALUES (?,?,?,?)",
+                    [(self.study_name, trial.number, s, v)
+                     for s, v in sorted(trial.intermediate_values.items())],
                 )
                 self._conn.commit()
             self._persist_spaces()
@@ -285,7 +361,7 @@ class Study:
                 state["next"] += 1
                 state["issued"] += 1
                 return Trial(number=i, _sampler=self.sampler,
-                             _lock=self._lock)
+                             _lock=self._lock, _study=self)
 
         def run_one(trial: Trial) -> None:
             try:
@@ -366,7 +442,7 @@ class Study:
 def create_study(study_name: str, storage: Optional[str] = None,
                  sampler: Optional[Sampler] = None,
                  directions: Sequence[str] = ("minimize",),
-                 backend: str = "auto"):
+                 backend: str = "auto", pruner=None):
     """Create a study; backend='optuna' returns a real optuna study."""
     if backend == "optuna":
         import optuna
@@ -374,8 +450,10 @@ def create_study(study_name: str, storage: Optional[str] = None,
         return optuna.create_study(
             study_name=study_name, storage=storage,
             directions=list(directions), load_if_exists=True,
+            pruner=pruner,
         )
-    return Study(study_name, storage=storage, sampler=sampler, directions=directions)
+    return Study(study_name, storage=storage, sampler=sampler,
+                 directions=directions, pruner=pruner)
 
 
 class TPESampler(Sampler):

@@ -210,6 +210,13 @@ def _read_native(path: str) -> dict:
             "SELECT study, number, state, values_json, params_json, "
             "user_attrs_json, t FROM trials ORDER BY study, number"
         ).fetchall()
+        inter: dict[tuple, dict] = {}
+        try:
+            for study, num, step, value in conn.execute(
+                    "SELECT study, number, step, value FROM intermediates"):
+                inter.setdefault((study, num), {})[step] = value
+        except sqlite3.OperationalError:
+            pass  # db predates the intermediates table
         for study, num, st, vals, params, attrs, t in rows:
             d = out.setdefault(study, {"trials": [], "spaces": {}})
             d["trials"].append({
@@ -217,6 +224,7 @@ def _read_native(path: str) -> dict:
                 "values": json.loads(vals) if vals else None,
                 "params": json.loads(params), "user_attrs": json.loads(attrs),
                 "t": t,
+                "intermediate_values": inter.get((study, num), {}),
             })
         for study, name, cj in conn.execute(
                 "SELECT study, name, choices_json FROM spaces ORDER BY ord"):
@@ -236,7 +244,8 @@ def _study_payload(study) -> dict:
     return {
         "trials": [
             {"number": t.number, "state": t.state, "values": t.values,
-             "params": t.params, "user_attrs": t.user_attrs, "t": None}
+             "params": t.params, "user_attrs": t.user_attrs, "t": None,
+             "intermediate_values": getattr(t, "intermediate_values", {})}
             for t in study.trials
         ],
         "spaces": spaces,
@@ -342,6 +351,21 @@ def export_optuna_sqlite(
                         "INSERT INTO trial_user_attributes (trial_id, key, "
                         "value_json) VALUES (?,?,?)",
                         (tid, k, json.dumps(v)))
+                for step, v in sorted(
+                        t.get("intermediate_values", {}).items()):
+                    v = float(v)
+                    if math.isnan(v):
+                        vt, v = "NAN", 0.0
+                    elif math.isinf(v):
+                        vt = "INF_POS" if v > 0 else "INF_NEG"
+                        v = 0.0
+                    else:
+                        vt = "FINITE"
+                    conn.execute(
+                        "INSERT INTO trial_intermediate_values (trial_id, "
+                        "step, intermediate_value, intermediate_value_type) "
+                        "VALUES (?,?,?,?)",
+                        (tid, int(step), v, vt))
         conn.commit()
     finally:
         conn.close()

@@ -1,0 +1,165 @@
+"""Pruning surface: trial.report / trial.should_prune / MedianPruner.
+
+optuna's early-stopping idiom (report an intermediate value each epoch,
+raise TrialPruned when should_prune() says so) is part of the API users
+port objectives against. The reference studies don't prune (they run
+fixed-epoch trials), so this pins the native engine's semantics against
+optuna's documented MedianPruner behavior: no pruning before
+n_startup_trials COMPLETE trials, warmup steps exempt, prune when the
+reported value is worse than the median of completed trials at the same
+step. Intermediate values persist to sqlite and export into optuna's
+trial_intermediate_values (schema-12) table.
+"""
+
+import sqlite3
+
+import pytest
+
+from motionmixerconv_tpu.sweep import (
+    MedianPruner,
+    RandomSampler,
+    Study,
+    TrialPruned,
+)
+from motionmixerconv_tpu.sweep.engine import GridSampler
+
+
+def _objective(curve):
+    """Objective that reports curve[step] for 5 steps then returns the last."""
+
+    def objective(trial):
+        trial.suggest_int("slot", 0, 99)  # placement only
+        for step, v in enumerate(curve):
+            trial.report(v, step)
+            if trial.should_prune():
+                raise TrialPruned()
+        return curve[-1]
+
+    return objective
+
+
+class TestMedianPruner:
+    def test_bad_trial_pruned_after_startup(self):
+        study = Study("p", sampler=RandomSampler(seed=0),
+                      pruner=MedianPruner(n_startup_trials=2))
+        good = [1.0, 0.8, 0.6, 0.4, 0.2]
+        bad = [5.0, 5.0, 5.0, 5.0, 5.0]
+        for curve in (good, good):  # startup: completes regardless
+            study.optimize(_objective(curve), n_trials=1)
+        study.optimize(_objective(bad), n_trials=1)
+        states = [t.state for t in study.trials]
+        assert states == ["COMPLETE", "COMPLETE", "PRUNED"]
+        # pruned at the first checked step (>= startup satisfied, step 0)
+        assert list(study.trials[2].intermediate_values) == [0]
+
+    def test_no_pruning_before_startup(self):
+        study = Study("p2", sampler=RandomSampler(seed=0),
+                      pruner=MedianPruner(n_startup_trials=5))
+        study.optimize(_objective([9.0] * 5), n_trials=3)
+        assert all(t.state == "COMPLETE" for t in study.trials)
+
+    def test_warmup_steps_exempt(self):
+        study = Study("p3", sampler=RandomSampler(seed=0),
+                      pruner=MedianPruner(n_startup_trials=1,
+                                          n_warmup_steps=3))
+        study.optimize(_objective([1.0, 1.0, 1.0, 1.0, 0.5]), n_trials=1)
+        study.optimize(_objective([9.0, 9.0, 9.0, 9.0, 9.0]), n_trials=1)
+        bad = study.trials[1]
+        assert bad.state == "PRUNED"
+        # survived steps 0-2 (warmup), pruned at step 3
+        assert sorted(bad.intermediate_values) == [0, 1, 2, 3]
+
+    def test_maximize_direction(self):
+        study = Study("p4", sampler=RandomSampler(seed=0),
+                      directions=["maximize"],
+                      pruner=MedianPruner(n_startup_trials=1))
+        study.optimize(_objective([0.9, 0.9, 0.9, 0.9, 0.9]), n_trials=1)
+        study.optimize(_objective([0.1, 0.1, 0.1, 0.1, 0.1]), n_trials=1)
+        assert [t.state for t in study.trials] == ["COMPLETE", "PRUNED"]
+
+    def test_median_is_over_same_step(self):
+        """A trial beating the median at its reported step survives."""
+        study = Study("p5", sampler=RandomSampler(seed=0),
+                      pruner=MedianPruner(n_startup_trials=1))
+        study.optimize(_objective([2.0, 2.0, 2.0, 2.0, 2.0]), n_trials=1)
+        study.optimize(_objective([1.0, 1.0, 1.0, 1.0, 1.0]), n_trials=1)
+        assert all(t.state == "COMPLETE" for t in study.trials)
+
+    def test_no_pruner_never_prunes(self):
+        study = Study("p6", sampler=RandomSampler(seed=0))
+        study.optimize(_objective([9.0] * 5), n_trials=2)
+        assert all(t.state == "COMPLETE" for t in study.trials)
+
+
+class TestPersistence:
+    def test_intermediates_roundtrip_sqlite(self, tmp_path):
+        db = f"sqlite:///{tmp_path}/s.db"
+        study = Study("rt", storage=db, sampler=RandomSampler(seed=0))
+        study.optimize(_objective([3.0, 2.0, 1.0, 0.5, 0.25]), n_trials=2)
+        resumed = Study("rt", storage=db, sampler=RandomSampler(seed=0))
+        assert len(resumed.trials) == 2
+        for t in resumed.trials:
+            assert t.intermediate_values == {
+                0: 3.0, 1: 2.0, 2: 1.0, 3: 0.5, 4: 0.25}
+
+    def test_resume_feeds_pruner_history(self, tmp_path):
+        """A resumed study prunes against trials recorded before restart."""
+        db = f"sqlite:///{tmp_path}/s2.db"
+        s1 = Study("r2", storage=db, sampler=RandomSampler(seed=0),
+                   pruner=MedianPruner(n_startup_trials=1))
+        s1.optimize(_objective([1.0] * 5), n_trials=1)
+        s2 = Study("r2", storage=db, sampler=RandomSampler(seed=1),
+                   pruner=MedianPruner(n_startup_trials=1))
+        s2.optimize(_objective([9.0] * 5), n_trials=1)
+        assert [t.state for t in s2.trials] == ["COMPLETE", "PRUNED"]
+
+    def test_export_writes_intermediate_values(self, tmp_path):
+        from motionmixerconv_tpu.sweep import export_optuna_sqlite
+
+        study = Study("ex", sampler=RandomSampler(seed=0))
+        study.optimize(_objective([2.0, 1.5, 1.0, 0.75, 0.5]), n_trials=1)
+        dst = str(tmp_path / "optuna.db")
+        export_optuna_sqlite(study, dst)
+        rows = sqlite3.connect(dst).execute(
+            "SELECT step, intermediate_value, intermediate_value_type "
+            "FROM trial_intermediate_values ORDER BY step").fetchall()
+        assert rows == [(0, 2.0, "FINITE"), (1, 1.5, "FINITE"),
+                        (2, 1.0, "FINITE"), (3, 0.75, "FINITE"),
+                        (4, 0.5, "FINITE")]
+
+    def test_export_native_db_roundtrip(self, tmp_path):
+        """Exporting from the stored native db (not the live study) carries
+        the intermediates too."""
+        from motionmixerconv_tpu.sweep import export_optuna_sqlite
+
+        native = str(tmp_path / "native.db")
+        study = Study("exdb", storage=f"sqlite:///{native}",
+                      sampler=RandomSampler(seed=0))
+        study.optimize(_objective([4.0, 3.0, 2.0, 1.0, 0.5]), n_trials=1)
+        dst = str(tmp_path / "optuna2.db")
+        export_optuna_sqlite(native, dst)
+        n = sqlite3.connect(dst).execute(
+            "SELECT COUNT(*) FROM trial_intermediate_values").fetchone()[0]
+        assert n == 5
+
+
+class TestConcurrent:
+    def test_pruning_under_n_jobs(self):
+        pruner = MedianPruner(n_startup_trials=2)
+        study = Study("c", sampler=GridSampler(), pruner=pruner)
+
+        def objective(trial):
+            n = trial.suggest_int("n", 0, 7)
+            v = 1.0 if n < 4 else 9.0
+            for step in range(3):
+                trial.report(v, step)
+                if trial.should_prune():
+                    raise TrialPruned()
+            return v
+
+        study.optimize(objective, n_trials=8, n_jobs=4)
+        assert len(study.trials) == 8
+        assert {t.state for t in study.trials} <= {"COMPLETE", "PRUNED"}
+        # every good trial completed; pruning never produced FAIL/lost trials
+        good = [t for t in study.trials if t.params["n"] < 4]
+        assert all(t.state == "COMPLETE" for t in good)
