@@ -213,6 +213,7 @@ def _train_and_evaluate(
     teacher_forcing_epochs=None,
     start_epoch: int = 0,
     batch_order_fn=None,
+    epoch_callback=None,
 ):
     """Shared epoch driver: train -> validate -> grouped per-action test ->
     history/TensorBoard/checkpoint. Used by all grouped-eval runners; AMASS
@@ -224,6 +225,12 @@ def _train_and_evaluate(
     batch_order_fn: epoch -> window permutation, replays an explicit batch
         stream (lockstep parity runs, tools/parity_runs.py). Direct
         trainer path only.
+    epoch_callback: ``f(epoch, history)`` called after each epoch's metrics
+        land in ``history`` — the study drivers report intermediate values
+        and prune through it (sweep/engine.py TrialPruned propagates; the
+        epoch's checkpoint is already saved). Forces the per-epoch path
+        (pruning needs a host decision every epoch, which is exactly what
+        --epochs_per_dispatch amortizes away).
     """
     history = {"train": [], "val": [], "test": [],
                "metrics": {metric_names[0]: [], metric_names[1]: []}}
@@ -235,7 +242,12 @@ def _train_and_evaluate(
             ">>> --epochs_per_dispatch ignored: an explicit batch-order "
             "stream (parity run) requires the per-epoch path"
         )
-    if epd > 1 and batch_order_fn is None:
+    if epd > 1 and epoch_callback is not None:
+        print(
+            ">>> --epochs_per_dispatch ignored: per-epoch reporting/pruning "
+            "requires the per-epoch path"
+        )
+    if epd > 1 and batch_order_fn is None and epoch_callback is None:
         return _train_and_evaluate_fused(
             args, trainer, state, logger, log_dir,
             dataset, frames, vald, vframes,
@@ -293,6 +305,12 @@ def _train_and_evaluate(
             f"epoch {epoch}: {tf_note}train {train_loss:.4f} val {val_loss:.4f} "
             f"test {m1_avg:.4f} ({time.time() - t0:.1f}s)"
         )
+        if epoch_callback is not None:
+            try:
+                epoch_callback(epoch, history)
+            except BaseException:
+                logger.close()  # flush TB events for the pruned partial run
+                raise
 
     return history, state
 
@@ -462,7 +480,7 @@ def _h36m_metric_names(loss_type):
     return ("mpjpe", "auc_pck") if loss_type == "mpjpe" else ("euler_angle", "joint_angle")
 
 def run_h36m(args, model=None, model_name: Optional[str] = None,
-             init_variables=None, batch_order_fn=None):
+             init_variables=None, batch_order_fn=None, epoch_callback=None):
     """H36M direct training (train_mixer_h36m.py:47-279 + per-epoch tests)."""
     mode = "xyz" if args.loss_type == "mpjpe" else "angle"
     dim_used = H36M_DIM_USED_XYZ if mode == "xyz" else H36M_DIM_USED_ANGLE
@@ -527,6 +545,7 @@ def run_h36m(args, model=None, model_name: Optional[str] = None,
         metric_names=_h36m_metric_names(args.loss_type),
         start_epoch=start_epoch,
         batch_order_fn=batch_order_fn,
+        epoch_callback=epoch_callback,
     )
 
     if getattr(args, "visualize", False) and args.loss_type == "mpjpe":
@@ -541,7 +560,7 @@ def run_h36m(args, model=None, model_name: Optional[str] = None,
 
 
 def run_h36m_autoregressive(args, model=None, model_name: Optional[str] = None,
-                            init_variables=None):
+                            init_variables=None, epoch_callback=None):
     """Autoregressive H36M training (train_autoreg_mixer_h36m.py:49-192)."""
     mode = "xyz" if args.loss_type == "mpjpe" else "angle"
     dim_used = H36M_DIM_USED_XYZ if mode == "xyz" else H36M_DIM_USED_ANGLE
@@ -593,13 +612,15 @@ def run_h36m_autoregressive(args, model=None, model_name: Optional[str] = None,
         test_kind="ar",
         metric_names=_h36m_metric_names(args.loss_type),
         teacher_forcing_epochs=args.n_epochs_teacher_forcing,
+        epoch_callback=epoch_callback,
     )
 
     logger.close()
     return history, state, trainer
 
 
-def run_ais(args, model=None, model_name: Optional[str] = None):
+def run_ais(args, model=None, model_name: Optional[str] = None,
+            epoch_callback=None):
     """AIS direct training (train_mixer_ais.py:47-292)."""
     dim_used = AIS_DIM_USED
     common = dict(
@@ -650,13 +671,15 @@ def run_ais(args, model=None, model_name: Optional[str] = None):
         test_kind="simple",
         metric_names=("mpjpe", "auc_pck"),
         m1_scale=1000.0,
+        epoch_callback=epoch_callback,
     )
 
     logger.close()
     return history, state, trainer
 
 
-def run_ais_autoregressive(args, model=None, model_name: Optional[str] = None):
+def run_ais_autoregressive(args, model=None, model_name: Optional[str] = None,
+                           epoch_callback=None):
     """AIS autoregressive training (train_autoreg_mixer_ais.py:63-203).
 
     Test metric: 1000x rollout loss (mm) + AUC-PCK on raw meters
@@ -715,6 +738,7 @@ def run_ais_autoregressive(args, model=None, model_name: Optional[str] = None):
         metric_names=("mpjpe", "auc_pck"),
         m1_scale=1000.0,
         teacher_forcing_epochs=args.n_epochs_teacher_forcing,
+        epoch_callback=epoch_callback,
     )
 
     logger.close()

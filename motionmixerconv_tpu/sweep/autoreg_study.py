@@ -16,7 +16,7 @@ import argparse
 import copy
 import os
 
-from .conv_study import _build_model
+from .conv_study import _build_model, _epoch_reporter, _make_pruner
 from .engine import GridSampler, Study
 
 
@@ -59,6 +59,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--spread_devices", action="store_true",
                         help="pin trial i to jax device i%%N — one sweep "
                              "fans out over every visible chip")
+    parser.add_argument("--pruner", default="none",
+                        choices=["none", "median"],
+                        help="median: prune trials whose per-epoch primary "
+                             "metric is worse than the median of completed "
+                             "trials at the same epoch")
     parser.add_argument("--seed", default=0, type=int)
     return parser.parse_args(argv)
 
@@ -94,6 +99,8 @@ class Objective:
         history, state, trainer = run(
             args, model=model,
             model_name=f"ar_{loss_type}_trial{trial.number}",
+            epoch_callback=(_epoch_reporter(trial, "test")
+                            if loss_type == "mpjpe" else None),
         )
         trial.set_user_attr(f"test_loss_{loss_type}", history["test"][-1])
         for metric, values in history.get("metrics", {}).items():
@@ -131,6 +138,7 @@ def main(argv=None):
         storage=f"sqlite:///{args.study_dir}/results.db",
         sampler=GridSampler(),
         directions=directions,
+        pruner=_make_pruner(args),
     )
     study.optimize(
         Objective(args.study_dir, base_args=args),

@@ -18,7 +18,32 @@ import copy
 import os
 
 from ..models import ConvMixer
-from .engine import GridSampler, RandomSampler, Study, TPESampler
+from .engine import (
+    GridSampler,
+    MedianPruner,
+    RandomSampler,
+    Study,
+    TPESampler,
+    TrialPruned,
+)
+
+
+def _epoch_reporter(trial, key: str):
+    """Per-epoch callback for the runners: report history[key][-1] at each
+    epoch and raise TrialPruned when the study's pruner says stop. With no
+    pruner configured this still records the learning curve as the trial's
+    intermediate values (sqlite + optuna-dashboard export)."""
+
+    def callback(epoch, history):
+        trial.report(history[key][-1], epoch)
+        if trial.should_prune():
+            raise TrialPruned()
+
+    return callback
+
+
+def _make_pruner(args):
+    return MedianPruner() if getattr(args, "pruner", "none") == "median" else None
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -57,6 +82,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--spread_devices", action="store_true",
                         help="pin trial i to jax device i%%N — one sweep "
                              "fans out over every visible chip")
+    parser.add_argument("--pruner", default="none",
+                        choices=["none", "median"],
+                        help="median: prune trials whose per-epoch primary "
+                             "metric is worse than the median of completed "
+                             "trials at the same epoch")
     parser.add_argument("--sampler", default="grid",
                         choices=["grid", "random", "tpe"])
     parser.add_argument("--seed", default=0, type=int)
@@ -119,7 +149,13 @@ class Objective:
         args.save_path = os.path.join(self.study_dir, f"trial{trial.number}")
         model = _build_model(args, pose_dim, args.input_n, args.output_n)
         model_name = self._model_name(args, loss_type)
-        history, state, trainer = run_h36m(args, model=model, model_name=model_name)
+        history, state, trainer = run_h36m(
+            args, model=model, model_name=model_name,
+            # report/prune on the FIRST objective only (optuna pruning is
+            # single-objective); the angle phase trains to completion
+            epoch_callback=(_epoch_reporter(trial, "test")
+                            if loss_type == "mpjpe" else None),
+        )
 
         trial.set_user_attr(f"train_loss_{loss_type}", history["train"][-1])
         trial.set_user_attr(f"val_loss_{loss_type}", history["val"][-1])
@@ -147,7 +183,10 @@ class Objective:
         args.hidden_dim = args.dimPosEmb
         model = _build_model(args, pose_dim, args.input_n, args.output_n)
         model_name = self._model_name(args, loss_type)
-        history, state, trainer = run_ais(args, model=model, model_name=model_name)
+        history, state, trainer = run_ais(
+            args, model=model, model_name=model_name,
+            epoch_callback=_epoch_reporter(trial, "test"),
+        )
         trial.set_user_attr(f"test_loss_{loss_type}", history["test"][-1])
         for action, (m1, m2) in history.get("per_action", {}).items():
             trial.set_user_attr(f"{action}/mpjpe", m1)
@@ -187,6 +226,7 @@ def main(argv=None):
         storage=f"sqlite:///{args.study_dir}/results.db",
         sampler=sampler,
         directions=directions,
+        pruner=_make_pruner(args),
     )
     study.optimize(
         Objective(args.study_dir, base_args=args),

@@ -15,6 +15,7 @@ import argparse
 import copy
 import os
 
+from .conv_study import _epoch_reporter, _make_pruner
 from .engine import TPESampler, Study
 
 
@@ -47,6 +48,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--spread_devices", action="store_true",
                         help="pin trial i to jax device i%%N — one sweep "
                              "fans out over every visible chip")
+    parser.add_argument("--pruner", default="none",
+                        choices=["none", "median"],
+                        help="median: prune trials whose per-epoch primary "
+                             "metric is worse than the median of completed "
+                             "trials at the same epoch")
     parser.add_argument("--seed", default=0, type=int)
     return parser.parse_args(argv)
 
@@ -75,7 +81,9 @@ class Objective:
 
         model = build_mlp_mixer(args, args.pose_dim, args.input_n, args.output_n)
         history, state, trainer = run_h36m(
-            args, model=model, model_name=f"mlp_trial{trial.number}"
+            args, model=model, model_name=f"mlp_trial{trial.number}",
+            # report the metric this study optimizes (val, optuna_main.py:245)
+            epoch_callback=_epoch_reporter(trial, "val"),
         )
         trial.set_user_attr("train_loss", history["train"][-1])
         trial.set_user_attr("test_loss", history["test"][-1])
@@ -100,6 +108,7 @@ def main(argv=None):
         storage=f"sqlite:///{args.study_dir}/results.db",
         sampler=TPESampler(seed=args.seed),
         directions=["minimize"],
+        pruner=_make_pruner(args),
     )
     study.optimize(
         Objective(args.study_dir, base_args=args),

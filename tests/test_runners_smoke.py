@@ -135,3 +135,56 @@ def test_h36m_autoreg_angle_runner(h36m_dir, tmp_path):
     assert np.isfinite(history["metrics"]["euler_angle"]).all()
     assert np.isfinite(history["metrics"]["joint_angle"]).all()
     _assert_artifacts(save)
+
+
+def test_epoch_callback_reports_and_prunes(h36m_dir, tmp_path):
+    """The runners' epoch_callback hook: called once per epoch with the
+    accumulated history (the study drivers report intermediate values
+    through it), and a raised TrialPruned stops the run mid-training
+    after that epoch's checkpoint was saved."""
+    from motionmixerconv_tpu.cli._runner import run_h36m
+    from motionmixerconv_tpu.sweep import TrialPruned
+    from motionmixerconv_tpu.sweep.conv_study import parse_args
+
+    args = parse_args([
+        "--data_dir", h36m_dir, "--n_epochs", "2", "--skip_rate", "5",
+        "--actions_to_consider", "walking", "--batch_size", "128",
+    ])
+    args.loss_type = "mpjpe"
+    args.pose_dim = 66
+    args.delta_x = False
+    args.hidden_dim = 24
+    args.num_blocks = 2
+    args.save_path = str(tmp_path / "full")
+
+    from motionmixerconv_tpu.cli._runner import build_conv_mixer
+
+    seen = []
+    model = build_conv_mixer(args, 66, 66, args.input_n, args.output_n)
+    history, _, _ = run_h36m(
+        args, model=model, model_name="cb",
+        epoch_callback=lambda e, h: seen.append((e, len(h["test"]))),
+    )
+    assert seen == [(0, 1), (1, 2)]
+    assert len(history["test"]) == 2
+
+    # pruning: raise at epoch 0 -> run stops, artifacts of epoch 0 exist
+    args2 = parse_args([
+        "--data_dir", h36m_dir, "--n_epochs", "2", "--skip_rate", "5",
+        "--actions_to_consider", "walking", "--batch_size", "128",
+    ])
+    args2.loss_type = "mpjpe"
+    args2.pose_dim = 66
+    args2.delta_x = False
+    args2.hidden_dim = 24
+    args2.num_blocks = 2
+    args2.save_path = str(tmp_path / "pruned")
+
+    def prune_now(epoch, history):
+        raise TrialPruned()
+
+    model2 = build_conv_mixer(args2, 66, 66, args2.input_n, args2.output_n)
+    with pytest.raises(TrialPruned):
+        run_h36m(args2, model=model2, model_name="cb",
+                 epoch_callback=prune_now)
+    _assert_artifacts(args2.save_path)
