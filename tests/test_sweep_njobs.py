@@ -185,6 +185,25 @@ class TestStudyCLIFlags:
 
     @pytest.mark.parametrize(
         "mod", ["conv_study", "autoreg_study", "mlp_study"])
+    def test_pruner_flag(self, mod, tmp_path, monkeypatch):
+        import importlib
+
+        from motionmixerconv_tpu.sweep import MedianPruner
+
+        m = importlib.import_module(f"motionmixerconv_tpu.sweep.{mod}")
+        captured = {}
+
+        def fake_optimize(self, objective, **kw):
+            captured["pruner"] = self.pruner
+
+        monkeypatch.setattr(Study, "optimize", fake_optimize)
+        m.main(["--study_dir", str(tmp_path / "a"), "--pruner", "median"])
+        assert isinstance(captured["pruner"], MedianPruner)
+        m.main(["--study_dir", str(tmp_path / "b")])
+        assert captured["pruner"] is None
+
+    @pytest.mark.parametrize(
+        "mod", ["conv_study", "autoreg_study", "mlp_study"])
     def test_defaults_stay_sequential(self, mod, tmp_path, monkeypatch):
         import importlib
 
