@@ -453,8 +453,34 @@ def measure_jax() -> tuple[dict, str]:
     return out, getattr(dev, "device_kind", str(dev))
 
 
+def _wait_for_device(attempts: int = 2, pause_s: float = 120.0) -> None:
+    """Ride out a transiently wedged backend before timing anything.
+
+    The tunneled TPU backend can take minutes to recover after a crashed
+    process (see CLAUDE.md); a failed in-process init is CACHED by jax, so
+    each probe runs in a fresh interpreter and is left to finish on its own
+    (killing a probe mid-backend-setup wedges the tunnel further). On a
+    healthy backend the first probe returns in seconds. After ``attempts``
+    failures the bench proceeds and surfaces the real error.
+    """
+    import subprocess
+
+    for i in range(attempts):
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+        )
+        if r.returncode == 0:
+            return
+        print(f"bench: device probe {i + 1}/{attempts} failed "
+              f"({r.stderr.decode()[-160:].strip()!r}); retrying in "
+              f"{pause_s:.0f}s", file=sys.stderr)
+        time.sleep(pause_s)
+
+
 def main():
     refresh = "--refresh-baseline-cache" in sys.argv
+    _wait_for_device()
     base = get_baselines(refresh_cache=refresh)
     ours, device_kind = measure_jax()
 
