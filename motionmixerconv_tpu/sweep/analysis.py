@@ -58,11 +58,34 @@ def per_action_table(df, metric: str = "mpjpe", trial_number=None):
     }
 
 
+def learning_curves(study_dir: str):
+    """Per-trial learning curves (epoch x trial -> reported value) from the
+    intermediate values the study drivers report each epoch. NaN where a
+    trial never reached that epoch (pruned / shorter run)."""
+    import pandas as pd
+
+    study = Study(
+        study_name=os.path.basename(study_dir),
+        storage=f"sqlite:///{study_dir}/results.db",
+    )
+    series = {
+        t.number: pd.Series(t.intermediate_values)
+        for t in study.trials if t.intermediate_values
+    }
+    if not series:
+        raise ValueError("study has no reported intermediate values")
+    df = pd.DataFrame(series).sort_index()
+    df.index.name = "step"
+    return df
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--study_dir", type=str, required=True)
     parser.add_argument("--value_col", type=str, default="values_0")
     parser.add_argument("--format", choices=["markdown", "latex"], default="markdown")
+    parser.add_argument("--curves", action="store_true",
+                        help="also print the per-trial learning curves")
     args = parser.parse_args(argv)
 
     df = load_study_dataframe(args.study_dir)
@@ -76,6 +99,14 @@ def main(argv=None):
     best = best_trials_table(df, args.value_col)
     out = best.to_markdown() if args.format == "markdown" else best.to_latex()
     print("## best trials\n", out)
+    if args.curves:
+        try:
+            curves = learning_curves(args.study_dir)
+            out = (curves.to_markdown() if args.format == "markdown"
+                   else curves.to_latex())
+            print("\n## learning curves\n", out)
+        except ValueError as e:
+            print(f"\n## learning curves\n ({e})")
     return df
 
 

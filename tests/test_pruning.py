@@ -143,6 +143,38 @@ class TestPersistence:
         assert n == 5
 
 
+class TestAnalysis:
+    def test_learning_curves_dataframe(self, tmp_path):
+        import numpy as np
+
+        from motionmixerconv_tpu.sweep.analysis import learning_curves
+
+        study_dir = tmp_path / "s"
+        study_dir.mkdir()
+        study = Study("s", storage=f"sqlite:///{study_dir}/results.db",
+                      sampler=RandomSampler(seed=0),
+                      pruner=MedianPruner(n_startup_trials=1))
+        study.optimize(_objective([1.0, 0.8, 0.6, 0.4, 0.2]), n_trials=1)
+        study.optimize(_objective([9.0] * 5), n_trials=1)  # pruned at step 0
+        df = learning_curves(str(study_dir))
+        assert list(df.columns) == [0, 1]
+        assert list(df.index) == [0, 1, 2, 3, 4]
+        assert df[0].tolist() == [1.0, 0.8, 0.6, 0.4, 0.2]
+        assert df[1][0] == 9.0 and np.isnan(df[1][1:]).all()
+
+    def test_learning_curves_empty_raises(self, tmp_path):
+        from motionmixerconv_tpu.sweep.analysis import learning_curves
+
+        study_dir = tmp_path / "s2"
+        study_dir.mkdir()
+        study = Study("s2", storage=f"sqlite:///{study_dir}/results.db",
+                      sampler=RandomSampler(seed=0))
+        study.optimize(lambda t: (t.suggest_int("n", 0, 3), 1.0)[1],
+                       n_trials=1)
+        with pytest.raises(ValueError, match="no reported"):
+            learning_curves(str(study_dir))
+
+
 class TestConcurrent:
     def test_pruning_under_n_jobs(self):
         pruner = MedianPruner(n_startup_trials=2)
