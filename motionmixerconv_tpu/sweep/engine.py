@@ -40,10 +40,17 @@ class Trial:
     # mutate shared state (grid discovery, TPE history, the random stream)
     _lock: Any = None
     _study: Any = None  # owning Study; needed by should_prune()
+    _fixed: Any = None  # params pinned by Study.enqueue_trial
 
     def _suggest(self, name: str, choices: Sequence[Any]) -> Any:
-        with self._lock or contextlib.nullcontext():
-            value = self._sampler.sample(self.number, name, list(choices))
+        if self._fixed and name in self._fixed:
+            value = self._fixed[name]
+            # the sampler still learns the space (grid decode, TPE history)
+            with self._lock or contextlib.nullcontext():
+                self._sampler.register_space(name, list(choices))
+        else:
+            with self._lock or contextlib.nullcontext():
+                value = self._sampler.sample(self.number, name, list(choices))
         self.params[name] = value
         return value
 
@@ -111,10 +118,13 @@ class GridSampler(Sampler):
         self._order = list(order)
         self._spaces = {k: list(v) for k, v in spaces.items()}
 
-    def sample(self, trial_number: int, name: str, choices: list) -> Any:
+    def register_space(self, name: str, choices: list) -> None:
         if name not in self._spaces:
             self._spaces[name] = list(choices)
             self._order.append(name)
+
+    def sample(self, trial_number: int, name: str, choices: list) -> Any:
+        self.register_space(name, choices)
         sizes = [len(self._spaces[k]) for k in self._order]
         idx = trial_number
         # mixed-radix decode, last-suggested parameter varies fastest
@@ -203,6 +213,8 @@ class Study:
         self.sampler = sampler or GridSampler()
         self.directions = list(directions)
         self.pruner = pruner
+        self.user_attrs: dict = {}
+        self._queued: list[dict] = []  # enqueue_trial FIFO
         self._lock = threading.RLock()  # guards trials/sampler/sqlite under n_jobs>1
         self._conn = None
         if storage:
@@ -222,6 +234,10 @@ class Study:
             self._conn.execute(
                 "CREATE TABLE IF NOT EXISTS intermediates ("
                 "study TEXT, number INTEGER, step INTEGER, value REAL)"
+            )
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS study_attrs ("
+                "study TEXT, key TEXT, value_json TEXT)"
             )
             self._conn.commit()
         self.trials: list[FrozenTrial] = []
@@ -257,6 +273,11 @@ class Study:
                 self.trials.append(ft)
                 if ft.state == "COMPLETE" and ft.values and hasattr(self.sampler, "observe"):
                     self.sampler.observe(ft.params, ft.values, self.directions)
+            for key, vj in self._conn.execute(
+                    "SELECT key, value_json FROM study_attrs WHERE study=?",
+                    (study_name,)):
+                self.user_attrs[key] = json.loads(vj)
+        self._next_number = len(self.trials)
 
     @staticmethod
     def _json_default(o):
@@ -345,7 +366,7 @@ class Study:
             return jax.default_device(devices[trial.number % len(devices)])
 
         t0 = time.time()
-        state = {"next": len(self.trials), "issued": 0}
+        state = {"issued": 0}
 
         def next_trial() -> Optional[Trial]:
             with self._lock:
@@ -353,15 +374,13 @@ class Study:
                     return None
                 if timeout is not None and time.time() - t0 > timeout:
                     return None
-                i = state["next"]
-                if isinstance(self.sampler, GridSampler):
+                if (isinstance(self.sampler, GridSampler)
+                        and not self._queued):
                     n_pts = self.sampler.n_points()
-                    if n_pts is not None and i >= n_pts:
+                    if n_pts is not None and self._next_number >= n_pts:
                         return None  # grid exhausted
-                state["next"] += 1
                 state["issued"] += 1
-                return Trial(number=i, _sampler=self.sampler,
-                             _lock=self._lock, _study=self)
+                return self.ask()
 
         def run_one(trial: Trial) -> None:
             try:
@@ -416,6 +435,63 @@ class Study:
         if errors:
             raise errors[0]
 
+    def ask(self) -> Trial:
+        """Hand out the next trial (optuna's ask half of ask-and-tell).
+
+        The trial draws from the study's sampler on each ``suggest_*`` call;
+        params pinned by ``enqueue_trial`` take precedence. Complete it with
+        ``tell``. Thread-safe with a concurrent ``optimize``: both draw
+        numbers from one counter.
+        """
+        with self._lock:
+            number = self._next_number
+            self._next_number += 1
+            fixed = self._queued.pop(0) if self._queued else None
+            return Trial(number=number, _sampler=self.sampler,
+                         _lock=self._lock, _study=self, _fixed=fixed)
+
+    def tell(self, trial: Trial, values=None, state: str = "COMPLETE") -> None:
+        """Record an ask()'d trial (optuna's tell half).
+
+        values: scalar or sequence for COMPLETE trials; ignored for
+        PRUNED/FAIL. The sampler observes COMPLETE results exactly as under
+        ``optimize``.
+        """
+        if state not in ("COMPLETE", "PRUNED", "FAIL"):
+            raise ValueError(f"unknown trial state {state!r}")
+        if state == "COMPLETE":
+            if values is None:
+                raise ValueError("COMPLETE trial needs values")
+            vs = (list(values) if isinstance(values, (tuple, list))
+                  else [values])
+            self._record(trial, state, [float(v) for v in vs])
+        else:
+            self._record(trial, state, None)
+
+    def enqueue_trial(self, params: dict) -> None:
+        """Pin the next trial's parameters (optuna.Study.enqueue_trial) —
+        warm-starting a search from known-good configurations. Names not in
+        ``params`` are still drawn from the sampler. With a GridSampler the
+        enqueued trial consumes its trial-number's grid point (numbers
+        drive the mixed-radix decode), like a failed trial does.
+        """
+        with self._lock:
+            self._queued.append(dict(params))
+
+    def set_user_attr(self, key: str, value: Any) -> None:
+        """Study-level attribute, persisted alongside the trials."""
+        with self._lock:
+            self.user_attrs[key] = value
+            if self._conn is not None:
+                self._conn.execute(
+                    "DELETE FROM study_attrs WHERE study=? AND key=?",
+                    (self.study_name, key))
+                self._conn.execute(
+                    "INSERT INTO study_attrs VALUES (?,?,?)",
+                    (self.study_name, key,
+                     json.dumps(value, default=self._json_default)))
+                self._conn.commit()
+
     @property
     def best_trial(self) -> FrozenTrial:
         done = [t for t in self.trials if t.state == "COMPLETE"]
@@ -423,6 +499,31 @@ class Study:
             raise ValueError("no completed trials")
         sign = -1.0 if self.directions[0] == "maximize" else 1.0
         return min(done, key=lambda t: sign * t.values[0])
+
+    @property
+    def best_trials(self) -> list:
+        """Pareto-optimal COMPLETE trials (optuna.Study.best_trials).
+
+        For a single objective this is every trial tied with the best; for
+        the two-objective studies (conv/autoreg h36m) the non-dominated
+        front over (mpjpe, angle).
+        """
+        done = [t for t in self.trials if t.state == "COMPLETE" and t.values]
+        signs = [1.0 if d == "minimize" else -1.0 for d in self.directions]
+
+        def adj(t):
+            return [s * v for s, v in zip(signs, t.values)]
+
+        def dominates(a, b):
+            return (all(x <= y for x, y in zip(a, b))
+                    and any(x < y for x, y in zip(a, b)))
+
+        fronts = []
+        for t in done:
+            at = adj(t)
+            if not any(dominates(adj(u), at) for u in done if u is not t):
+                fronts.append(t)
+        return fronts
 
     def trials_dataframe(self):
         import pandas as pd

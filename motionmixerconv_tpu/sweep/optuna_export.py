@@ -230,6 +230,13 @@ def _read_native(path: str) -> dict:
                 "SELECT study, name, choices_json FROM spaces ORDER BY ord"):
             out.setdefault(study, {"trials": [], "spaces": {}})
             out[study]["spaces"][name] = json.loads(cj)
+        try:
+            for study, key, vj in conn.execute(
+                    "SELECT study, key, value_json FROM study_attrs"):
+                out.setdefault(study, {"trials": [], "spaces": {}})
+                out[study].setdefault("user_attrs", {})[key] = json.loads(vj)
+        except sqlite3.OperationalError:
+            pass  # db predates the study_attrs table
     finally:
         conn.close()
     return out
@@ -249,6 +256,7 @@ def _study_payload(study) -> dict:
             for t in study.trials
         ],
         "spaces": spaces,
+        "user_attrs": dict(getattr(study, "user_attrs", {})),
     }
 
 
@@ -300,6 +308,11 @@ def export_optuna_sqlite(
                     "INSERT INTO study_directions (direction, study_id, "
                     "objective) VALUES (?, ?, ?)",
                     (d.upper(), sid, i))
+            for key, v in payload.get("user_attrs", {}).items():
+                conn.execute(
+                    "INSERT INTO study_user_attributes (study_id, key, "
+                    "value_json) VALUES (?, ?, ?)",
+                    (sid, key, json.dumps(v)))
 
             # distributions: persisted grid spaces, else observed values
             observed: dict[str, list] = {}
