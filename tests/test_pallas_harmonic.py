@@ -22,6 +22,7 @@ def _reference(x2d, kernel, bias, n, omega0):
 @pytest.mark.parametrize("rows,d,e,n,tile", [
     (40, 66, 50, 8, 16),   # rows not a tile multiple
     (32, 7, 13, 4, 8),     # odd dims
+    (16, 5, 7, 1, 8),      # single harmonic (the peeled-loop edge)
 ])
 def test_fused_forward_matches_reference(rows, d, e, n, tile):
     rs = np.random.RandomState(0)
@@ -36,8 +37,9 @@ def test_fused_forward_matches_reference(rows, d, e, n, tile):
                                atol=2e-5, rtol=1e-5)
 
 
-def test_fused_vjp_matches_reference():
-    rows, d, e, n = 24, 11, 9, 6
+@pytest.mark.parametrize("n", [6, 1])
+def test_fused_vjp_matches_reference(n):
+    rows, d, e = 24, 11, 9
     rs = np.random.RandomState(1)
     x = jnp.asarray(rs.randn(rows, d).astype(np.float32) * 0.5)
     k = jnp.asarray(rs.randn(2 * n * d, e).astype(np.float32) * 0.05)
@@ -167,6 +169,7 @@ def _reference_doubling(x2d, kernel, bias, n, omega0):
 @pytest.mark.parametrize("rows,d,e,n,tile", [
     (40, 66, 50, 8, 16),
     (32, 7, 13, 4, 8),
+    (16, 5, 7, 1, 8),      # single harmonic: fori_loop body never runs
 ])
 def test_fused_doubling_forward_matches_xla_doubling(rows, d, e, n, tile):
     """impl='doubling' kernel == the XLA doubling twin (same recurrence,
@@ -201,12 +204,13 @@ def test_fused_doubling_matches_direct_in_signal_band():
                                atol=5e-5)
 
 
-def test_fused_doubling_vjp():
+@pytest.mark.parametrize("n", [6, 1])
+def test_fused_doubling_vjp(n):
     """dW/db match autodiff of the XLA doubling twin (identical embed
     values -> identical weight gradients); dx matches the analytic
     d sin(f x)/dx = f cos(f x) formula evaluated at the recurrence's own
     (s, c) — the same formula the direct kernel uses."""
-    rows, d, e, n = 24, 11, 9, 6
+    rows, d, e = 24, 11, 9
     rs = np.random.RandomState(1)
     x = jnp.asarray(rs.randn(rows, d).astype(np.float32) * 0.5)
     k = jnp.asarray(rs.randn(2 * n * d, e).astype(np.float32) * 0.05)
