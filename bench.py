@@ -472,10 +472,13 @@ def _wait_for_device(attempts: int = 2, pause_s: float = 120.0) -> None:
         )
         if r.returncode == 0:
             return
+        last = i == attempts - 1
         print(f"bench: device probe {i + 1}/{attempts} failed "
-              f"({r.stderr.decode()[-160:].strip()!r}); retrying in "
-              f"{pause_s:.0f}s", file=sys.stderr)
-        time.sleep(pause_s)
+              f"({r.stderr.decode()[-160:].strip()!r})"
+              + ("" if last else f"; retrying in {pause_s:.0f}s"),
+              file=sys.stderr)
+        if not last:  # no dead wait after the final probe
+            time.sleep(pause_s)
 
 
 def main():

@@ -16,7 +16,13 @@ import argparse
 import copy
 import os
 
-from .conv_study import _build_model, _epoch_reporter, _make_pruner
+from .conv_study import (
+    _build_model,
+    _epoch_reporter,
+    _make_pruner,
+    _trial_devices,
+    add_sweep_args,
+)
 from .engine import GridSampler, Study
 
 
@@ -52,18 +58,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--smoothing_alpha", default=0.15, type=float)
     parser.add_argument("--n_trials", default=40, type=int)
     parser.add_argument("--timeout_hours", default=47.0, type=float)
-    parser.add_argument("--n_jobs", default=1, type=int,
-                        help="concurrent trials on a thread pool "
-                             "(optuna's n_jobs; trials overlap host work "
-                             "with device execution)")
-    parser.add_argument("--spread_devices", action="store_true",
-                        help="pin trial i to jax device i%%N — one sweep "
-                             "fans out over every visible chip")
-    parser.add_argument("--pruner", default="none",
-                        choices=["none", "median"],
-                        help="median: prune trials whose per-epoch primary "
-                             "metric is worse than the median of completed "
-                             "trials at the same epoch")
+    add_sweep_args(parser)
     parser.add_argument("--seed", default=0, type=int)
     return parser.parse_args(argv)
 
@@ -118,15 +113,6 @@ class Objective:
             angle = self._train(args, trial, "angle", 48)
             return mpjpe, angle
         return self._train(args, trial, "mpjpe", 33)
-
-
-def _trial_devices(args):
-    """jax.devices() when --spread_devices, else None (engine.py optimize)."""
-    if not getattr(args, "spread_devices", False):
-        return None
-    import jax
-
-    return jax.devices()
 
 
 def main(argv=None):

@@ -28,6 +28,24 @@ from .engine import (
 )
 
 
+def add_sweep_args(parser) -> None:
+    """Execution flags shared by every study driver (--n_jobs /
+    --spread_devices / --pruner); one definition so the drivers stay in
+    lockstep."""
+    parser.add_argument("--n_jobs", default=1, type=int,
+                        help="concurrent trials on a thread pool "
+                             "(optuna's n_jobs; trials overlap host work "
+                             "with device execution)")
+    parser.add_argument("--spread_devices", action="store_true",
+                        help="pin trial i to jax device i %% N - one sweep "
+                             "fans out over every visible chip")
+    parser.add_argument("--pruner", default="none",
+                        choices=["none", "median"],
+                        help="median: prune trials whose per-epoch primary "
+                             "metric is worse than the median of completed "
+                             "trials at the same epoch")
+
+
 def _epoch_reporter(trial, key: str):
     """Per-epoch callback for the runners: report history[key][-1] at each
     epoch and raise TrialPruned when the study's pruner says stop. With no
@@ -75,18 +93,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--smoothing_alpha", default=0.15, type=float)
     parser.add_argument("--n_trials", default=40, type=int)
     parser.add_argument("--timeout_hours", default=47.0, type=float)
-    parser.add_argument("--n_jobs", default=1, type=int,
-                        help="concurrent trials on a thread pool "
-                             "(optuna's n_jobs; trials overlap host work "
-                             "with device execution)")
-    parser.add_argument("--spread_devices", action="store_true",
-                        help="pin trial i to jax device i%%N — one sweep "
-                             "fans out over every visible chip")
-    parser.add_argument("--pruner", default="none",
-                        choices=["none", "median"],
-                        help="median: prune trials whose per-epoch primary "
-                             "metric is worse than the median of completed "
-                             "trials at the same epoch")
+    add_sweep_args(parser)
     parser.add_argument("--sampler", default="grid",
                         choices=["grid", "random", "tpe"])
     parser.add_argument("--seed", default=0, type=int)

@@ -178,9 +178,14 @@ class MedianPruner:
         self.interval_steps = max(1, interval_steps)
 
     def prune(self, study: "Study", trial: Trial) -> bool:
+        import math
+
         if not trial.intermediate_values:
             return False
         step = max(trial.intermediate_values)
+        value = trial.intermediate_values[step]
+        if math.isnan(value):
+            return True  # a diverged trial is always prunable (optuna too)
         if step < self.n_warmup_steps:
             return False
         if (step - self.n_warmup_steps) % self.interval_steps:
@@ -188,15 +193,16 @@ class MedianPruner:
         done = [t for t in study.trials if t.state == "COMPLETE"]
         if len(done) < self.n_startup_trials:
             return False
-        peers = [t.intermediate_values[step] for t in done
-                 if step in t.intermediate_values]
+        peers = sorted(
+            v for t in done
+            if step in t.intermediate_values
+            and not math.isnan(v := t.intermediate_values[step])
+        )
         if not peers:
             return False
-        peers = sorted(peers)
         n = len(peers)
         median = (peers[n // 2] if n % 2
                   else 0.5 * (peers[n // 2 - 1] + peers[n // 2]))
-        value = trial.intermediate_values[step]
         if study.directions[0] == "maximize":
             return value < median
         return value > median
@@ -277,7 +283,11 @@ class Study:
                     "SELECT key, value_json FROM study_attrs WHERE study=?",
                     (study_name,)):
                 self.user_attrs[key] = json.loads(vj)
-        self._next_number = len(self.trials)
+        # max+1, NOT len: n_jobs>1 / ask() can leave gaps in the recorded
+        # numbers (a killed run, an ask never told) and len() would reissue
+        # the tail numbers, duplicating trials and grid points on resume
+        self._next_number = max(
+            (t.number for t in self.trials), default=-1) + 1
 
     @staticmethod
     def _json_default(o):
@@ -367,9 +377,15 @@ class Study:
 
         t0 = time.time()
         state = {"issued": 0}
+        # first uncaught objective error; also a stop signal: the surviving
+        # workers must not keep burning trials after one worker died (the
+        # sequential path, and optuna, stop at the first uncaught error)
+        errors: list[BaseException] = []
 
         def next_trial() -> Optional[Trial]:
             with self._lock:
+                if errors:
+                    return None
                 if state["issued"] >= n_trials:
                     return None
                 if timeout is not None and time.time() - t0 > timeout:
@@ -413,10 +429,6 @@ class Study:
             if trial is None:
                 return
             run_one(trial)
-
-        # first uncaught objective error; re-raised after join so parallel
-        # matches the sequential path (and optuna), which propagates
-        errors: list[BaseException] = []
 
         def worker():
             try:
@@ -546,6 +558,14 @@ def create_study(study_name: str, storage: Optional[str] = None,
                  backend: str = "auto", pruner=None):
     """Create a study; backend='optuna' returns a real optuna study."""
     if backend == "optuna":
+        if isinstance(pruner, MedianPruner):
+            # the native pruner compares FrozenTrial state STRINGS; inside a
+            # real optuna study every comparison fails silently and nothing
+            # is ever pruned — refuse rather than disable pruning quietly
+            raise ValueError(
+                "backend='optuna' needs an optuna pruner "
+                "(optuna.pruners.MedianPruner), not the native MedianPruner"
+            )
         import optuna
 
         return optuna.create_study(

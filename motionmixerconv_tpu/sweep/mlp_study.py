@@ -15,7 +15,12 @@ import argparse
 import copy
 import os
 
-from .conv_study import _epoch_reporter, _make_pruner
+from .conv_study import (
+    _epoch_reporter,
+    _make_pruner,
+    _trial_devices,
+    add_sweep_args,
+)
 from .engine import TPESampler, Study
 
 
@@ -41,18 +46,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--actions_to_consider", default="all")
     parser.add_argument("--n_trials", default=40, type=int)
     parser.add_argument("--timeout_hours", default=47.0, type=float)
-    parser.add_argument("--n_jobs", default=1, type=int,
-                        help="concurrent trials on a thread pool "
-                             "(optuna's n_jobs; trials overlap host work "
-                             "with device execution)")
-    parser.add_argument("--spread_devices", action="store_true",
-                        help="pin trial i to jax device i%%N — one sweep "
-                             "fans out over every visible chip")
-    parser.add_argument("--pruner", default="none",
-                        choices=["none", "median"],
-                        help="median: prune trials whose per-epoch primary "
-                             "metric is worse than the median of completed "
-                             "trials at the same epoch")
+    add_sweep_args(parser)
     parser.add_argument("--seed", default=0, type=int)
     return parser.parse_args(argv)
 
@@ -89,15 +83,6 @@ class Objective:
         trial.set_user_attr("test_loss", history["test"][-1])
         # the reference optimizes the validation loss (optuna_main.py:245)
         return history["val"][-1]
-
-
-def _trial_devices(args):
-    """jax.devices() when --spread_devices, else None (engine.py optimize)."""
-    if not getattr(args, "spread_devices", False):
-        return None
-    import jax
-
-    return jax.devices()
 
 
 def main(argv=None):

@@ -59,6 +59,46 @@ class TestAskTell:
         assert numbers == [0, 1, 2, 3]  # no collisions
 
 
+class TestResumeNumbering:
+    def test_resume_skips_gapped_numbers(self, tmp_path):
+        """Numbers resume from max+1, not len: an ask() never told (or a
+        killed n_jobs run) leaves gaps that must not be reissued."""
+        db = f"sqlite:///{tmp_path}/g.db"
+        s1 = Study("g", storage=db, sampler=RandomSampler(seed=0))
+        t0, _t1, t2 = s1.ask(), s1.ask(), s1.ask()
+        for t in (t0, t2):
+            t.suggest_int("n", 0, 9)
+            s1.tell(t, 1.0)  # number 1 never told -> gap in sqlite
+        s2 = Study("g", storage=db, sampler=RandomSampler(seed=0))
+        assert {t.number for t in s2.trials} == {0, 2}
+        assert s2.ask().number == 3  # not 2
+
+
+class TestWorkerErrorStopsIssuing:
+    def test_other_workers_stop_after_uncaught_error(self):
+        import threading
+        import time
+
+        study = Study("w", sampler=RandomSampler(seed=0))
+        calls = [0]
+        lock = threading.Lock()
+
+        def objective(trial):
+            with lock:
+                calls[0] += 1
+                first = trial.number == 0
+            if first:
+                raise ValueError("boom")
+            time.sleep(0.1)
+            trial.suggest_int("n", 0, 9)
+            return 0.0
+
+        with pytest.raises(ValueError, match="boom"):
+            study.optimize(objective, n_trials=50, n_jobs=3)
+        # in-flight trials may finish; nobody starts the remaining ~45
+        assert calls[0] <= 6, calls[0]
+
+
 class TestEnqueue:
     def test_enqueued_params_win(self):
         study = Study("e", sampler=RandomSampler(seed=0))

@@ -143,6 +143,41 @@ class TestPersistence:
         assert n == 5
 
 
+class TestNaN:
+    def test_nan_report_always_prunes(self):
+        """A diverged trial (NaN report) is prunable immediately — before
+        startup trials and inside warmup (a NaN never recovers)."""
+        study = Study("nan1", sampler=RandomSampler(seed=0),
+                      pruner=MedianPruner(n_startup_trials=50,
+                                          n_warmup_steps=10))
+        study.optimize(_objective([1.0, float("nan"), 1.0, 1.0, 1.0]),
+                       n_trials=1)
+        t = study.trials[0]
+        assert t.state == "PRUNED"
+        assert sorted(t.intermediate_values) == [0, 1]
+
+    def test_nan_peer_does_not_poison_median(self):
+        """A COMPLETE trial with NaN intermediates is excluded from the
+        median, so pruning keeps working for later trials."""
+        study = Study("nan2", sampler=RandomSampler(seed=0),
+                      pruner=MedianPruner(n_startup_trials=1))
+        # completes with a NaN at step 0 (no pruner would fire: startup)
+        nan_curve = [float("nan")] * 5
+
+        def no_prune_objective(trial):
+            trial.suggest_int("slot", 0, 99)
+            for step, v in enumerate(nan_curve):
+                trial.report(v, step)
+            return 1.0  # returns a finite objective
+
+        study.optimize(no_prune_objective, n_trials=1)
+        study.optimize(_objective([1.0] * 5), n_trials=1)
+        study.optimize(_objective([9.0] * 5), n_trials=1)
+        # the 9.0 trial is pruned against median(1.0), not median(nan, 1.0)
+        assert [t.state for t in study.trials] == [
+            "COMPLETE", "COMPLETE", "PRUNED"]
+
+
 class TestAnalysis:
     def test_learning_curves_dataframe(self, tmp_path):
         import numpy as np

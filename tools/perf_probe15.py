@@ -42,7 +42,6 @@ def _objective_factory(data_dir, study_dir):
     from motionmixerconv_tpu.sweep.conv_study import parse_args
 
     def objective(trial):
-        import copy
         import os
 
         from motionmixerconv_tpu.cli._runner import build_conv_mixer, run_h36m
@@ -51,7 +50,6 @@ def _objective_factory(data_dir, study_dir):
             "--data_dir", data_dir, "--n_epochs", "2", "--skip_rate", "5",
             "--actions_to_consider", "walking", "--batch_size", "128",
         ])
-        args = copy.deepcopy(args)
         args.loss_type = "mpjpe"
         args.pose_dim = 66
         args.delta_x = False
