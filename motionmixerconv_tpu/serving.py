@@ -80,6 +80,35 @@ class Predictor:
                     stacklevel=2,
                 )
 
+    def replicate_to(self, device) -> "Predictor":
+        """A copy of this predictor pinned to ``device``: parameters
+        device_put there and (when active) the fused kernel rebuilt under
+        that device so its internal weight tiles land on it too. Serving
+        replication (serving_server.BatchingPredictor devices=...) uses one
+        replica per chip; callers must run the replica's predict under
+        ``jax.default_device(device)`` so inputs land on the same chip.
+        """
+        import copy as _copy
+
+        clone = _copy.copy(self)
+        # replicas are latency paths on a single chip; the mesh bulk path
+        # stays with the original predictor
+        clone.mesh = None
+        clone._batch_sharding = None
+        clone.variables = jax.device_put(self.variables, device)
+        if self._fused is not None:
+            with jax.default_device(device):
+                if isinstance(self.model, MlpMixer):
+                    from .ops.pallas_mixer import FusedMlpMixer
+
+                    clone._fused = FusedMlpMixer(self.model, clone.variables)
+                else:
+                    from .ops.pallas_conv_mixer import make_fused_conv_mixer
+
+                    clone._fused = make_fused_conv_mixer(
+                        self.model, clone.variables)
+        return clone
+
     @classmethod
     def from_checkpoint(cls, model, path: str, num_blocks: Optional[int] = None,
                         sample_shape=(1, 10, 66), **kw) -> "Predictor":

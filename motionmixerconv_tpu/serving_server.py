@@ -55,11 +55,25 @@ class BatchingPredictor:
     of one per observed batch size — essential on TPU, where an unseen shape
     costs a full jit compile mid-request. ``warmup(input_shape)`` compiles
     every bucket up front so no client ever waits on the compiler.
+
+    ``devices``: optional list of ``jax.Device``s for serving REPLICATION —
+    one worker per chip, each with its own parameter replica
+    (``Predictor.replicate_to``), all pulling request waves from the shared
+    queue. Work-steals by availability (an idle chip takes the next wave),
+    so aggregate throughput scales with the pod slice while each request
+    keeps single-chip latency. Distinct from ``Predictor(mesh=...)``, which
+    shards ONE bulk batch across chips.
     """
 
     def __init__(self, predictor, *, max_batch: int = 128,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0, devices=None):
         self._predictor = predictor
+        self.devices = list(devices) if devices else None
+        if self.devices:
+            self._workers = [(predictor.replicate_to(d), d)
+                             for d in self.devices]
+        else:
+            self._workers = [(predictor, None)]
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.buckets = []
@@ -69,16 +83,20 @@ class BatchingPredictor:
             b *= 2
         self.buckets.append(max_batch)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
-        self._held = None  # swept request deferred to the next wave
         self._stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_rows = 0
         self.n_batches = 0
         self.bucket_counts: dict = {}
+        self.device_batches: dict = {}
         self.latency_sum = 0.0
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._loop, args=(p, d), daemon=True)
+            for p, d in self._workers
+        ]
+        for t in self._threads:
+            t.start()
 
     # ------------------------------------------------------------- client API
 
@@ -105,18 +123,18 @@ class BatchingPredictor:
                 "batches": self.n_batches,
                 "mean_batch_rows": self.n_rows / max(self.n_batches, 1),
                 "bucket_counts": dict(self.bucket_counts),
+                "device_batches": dict(self.device_batches),
                 "mean_latency_ms": self.latency_sum / n * 1e3,
             }
 
     def close(self):
         self._stop.set()
-        self._thread.join(timeout=2.0)
-        # unblock any clients still waiting (held or queued) — otherwise
-        # their predict() calls hang forever after shutdown
+        for t in self._threads:
+            t.join(timeout=2.0)
+        # unblock any clients still queued — otherwise their predict()
+        # calls hang forever after shutdown (each worker error-sets its own
+        # held item on exit)
         leftovers = []
-        if self._held is not None:
-            leftovers.append(self._held)
-            self._held = None
         while True:
             try:
                 leftovers.append(self._queue.get_nowait())
@@ -133,28 +151,42 @@ class BatchingPredictor:
         return rows  # above max_batch (single oversize request): exact shape
 
     def warmup(self, input_shape) -> None:
-        """Compile every bucket before serving ((T, D) per-row shape)."""
-        for b in self.buckets:
-            x = np.zeros((b,) + tuple(input_shape), np.float32)
-            np.asarray(self._predictor.predict(x))
+        """Compile every bucket before serving ((T, D) per-row shape) — on
+        every device replica, so no chip ever compiles mid-request."""
+        for predictor, device in self._workers:
+            with self._device_ctx(device):
+                for b in self.buckets:
+                    x = np.zeros((b,) + tuple(input_shape), np.float32)
+                    np.asarray(predictor.predict(x))
 
     # ---------------------------------------------------------------- batcher
 
-    def _drain(self) -> list:
+    @staticmethod
+    def _device_ctx(device):
+        if device is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        import jax
+
+        return jax.default_device(device)
+
+    def _drain(self, held):
         """Block for one request, then sweep stragglers up to max_batch.
 
-        A swept request that would push the wave past max_batch is held for
-        the next wave (``_held``) instead of joining this one — otherwise the
-        overshot total lands above every warmed bucket and the whole wave
-        stalls on a fresh XLA compile.
+        A swept request that would push the wave past max_batch is held by
+        THIS worker for its next wave (``held``) instead of joining this one
+        — otherwise the overshot total lands above every warmed bucket and
+        the whole wave stalls on a fresh XLA compile.
+        Returns ``(items, held)``.
         """
-        if self._held is not None:
-            first, self._held = self._held, None
+        if held is not None:
+            first, held = held, None
         else:
             try:
                 first = self._queue.get(timeout=0.1)
             except queue.Empty:
-                return []
+                return [], None
         items, rows = [first], first.x.shape[0]
         deadline = time.perf_counter() + self.max_wait
         while rows < self.max_batch:
@@ -166,15 +198,16 @@ class BatchingPredictor:
             except queue.Empty:
                 break
             if rows + nxt.x.shape[0] > self.max_batch:
-                self._held = nxt
+                held = nxt
                 break
             items.append(nxt)
             rows += nxt.x.shape[0]
-        return items
+        return items, held
 
-    def _loop(self):
+    def _loop(self, predictor, device):
+        held = None
         while not self._stop.is_set():
-            items = self._drain()
+            items, held = self._drain(held)
             if not items:
                 continue
             bucket = 0
@@ -185,7 +218,8 @@ class BatchingPredictor:
                     pad = np.zeros((bucket - x.shape[0],) + x.shape[1:],
                                    x.dtype)
                     x = np.concatenate([x, pad], axis=0)
-                out = np.asarray(self._predictor.predict(x))
+                with self._device_ctx(device):
+                    out = np.asarray(predictor.predict(x))
                 off = 0
                 for it in items:
                     it.result = out[off : off + it.x.shape[0]]
@@ -198,8 +232,15 @@ class BatchingPredictor:
                     self.n_batches += 1
                     self.bucket_counts[bucket] = \
                         self.bucket_counts.get(bucket, 0) + 1
+                    if device is not None:
+                        k = str(device)
+                        self.device_batches[k] = \
+                            self.device_batches.get(k, 0) + 1
                 for it in items:
                     it.event.set()
+        if held is not None:  # drained but never served before shutdown
+            held.error = RuntimeError("BatchingPredictor closed")
+            held.event.set()
 
 
 def make_handler(batcher: BatchingPredictor, predictor):
@@ -257,9 +298,10 @@ class PredictionServer:
 
     def __init__(self, predictor, host: str = "127.0.0.1", port: int = 8476,
                  *, max_batch: int = 128, max_wait_ms: float = 2.0,
-                 warmup: bool = False):
+                 warmup: bool = False, devices=None):
         self.batcher = BatchingPredictor(
-            predictor, max_batch=max_batch, max_wait_ms=max_wait_ms)
+            predictor, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            devices=devices)
         if warmup:
             m = predictor.model
             in_n = getattr(m, "seq_len", None) or m.in_nTP
@@ -298,6 +340,10 @@ def main(argv: Optional[list] = None) -> None:
     ap.add_argument("--port", type=int, default=8476)
     ap.add_argument("--max_batch", type=int, default=128)
     ap.add_argument("--max_wait_ms", type=float, default=2.0)
+    ap.add_argument("--replicas", type=int, default=0,
+                    help="replicate serving across the first N visible "
+                         "chips (each with its own parameter copy, pulling "
+                         "from the shared request queue); 0 = one device")
     # shape flags (reference CLI defaults, train_mixer_h36m.py:575-595 /
     # train_mixer_amass.py:235-246)
     ap.add_argument("--input_n", type=int, default=10)
@@ -343,13 +389,18 @@ def main(argv: Optional[list] = None) -> None:
     predictor = Predictor.from_checkpoint(
         model, args.model_path,
         sample_shape=(1, args.input_n, args.pose_dim))
-    print("warming up (compiling every batch bucket)...", flush=True)
+    devices = jax.devices()[:args.replicas] if args.replicas > 1 else None
+    print("warming up (compiling every batch bucket"
+          + (f" on {len(devices)} replicas" if devices else "") + ")...",
+          flush=True)
     server = PredictionServer(predictor, args.host, args.port,
                               max_batch=args.max_batch,
-                              max_wait_ms=args.max_wait_ms, warmup=True)
+                              max_wait_ms=args.max_wait_ms, warmup=True,
+                              devices=devices)
     print(f"serving {args.arch} model on http://{args.host}:{server.port} "
           f"(backend={jax.default_backend()}, max_batch={args.max_batch}, "
-          f"buckets={server.batcher.buckets})")
+          f"buckets={server.batcher.buckets}"
+          + (f", replicas={len(devices)}" if devices else "") + ")")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

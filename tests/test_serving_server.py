@@ -153,7 +153,8 @@ def test_close_unblocks_pending_clients():
     p = _predictor()
     b = BatchingPredictor(p, max_batch=8, max_wait_ms=1.0)
     b._stop.set()  # freeze the batcher loop so the request stays queued
-    b._thread.join(timeout=5)
+    for t in b._threads:
+        t.join(timeout=5)
     errors = []
 
     def worker():
@@ -169,3 +170,49 @@ def test_close_unblocks_pending_clients():
     t.join(timeout=5)
     assert not t.is_alive(), "client still blocked after close()"
     assert errors and "closed" in str(errors[0])
+
+
+def test_replicated_devices_roundrobin():
+    """devices=[d0, d1] replication: two workers with their own parameter
+    replicas pull waves off the shared queue; results match the single
+    predictor bit-for-bit and both chips serve some batches."""
+    p = _predictor()
+    devices = jax.devices()[:2]
+    b = BatchingPredictor(p, max_batch=8, max_wait_ms=1.0, devices=devices)
+    b.warmup((10, 66))
+    rs = np.random.RandomState(2)
+    xs = [rs.randn(4, 10, 66).astype(np.float32) for _ in range(24)]
+    want = [np.asarray(p.predict(x)) for x in xs]
+    results = [None] * len(xs)
+
+    def worker(i):
+        results[i] = b.predict(xs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(xs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    s = b.stats()
+    b.close()
+    for got, exp in zip(results, want):
+        np.testing.assert_allclose(got, exp, atol=1e-5)
+    assert s["requests"] == 24
+    # both replicas served batches (work-stealing off the shared queue)
+    assert len(s["device_batches"]) == 2, s["device_batches"]
+    assert sum(s["device_batches"].values()) == s["batches"]
+
+
+def test_replicate_to_pins_params():
+    p = _predictor()
+    dev = jax.devices()[-1]
+    clone = p.replicate_to(dev)
+    leaf = jax.tree_util.tree_leaves(clone.variables)[0]
+    assert leaf.devices() == {dev}
+    x = np.random.RandomState(3).randn(2, 10, 66).astype(np.float32)
+    import jax as _jax
+
+    with _jax.default_device(dev):
+        got = np.asarray(clone.predict(x))
+    np.testing.assert_allclose(got, np.asarray(p.predict(x)), atol=1e-5)
