@@ -100,12 +100,19 @@ class BatchingPredictor:
 
     # ------------------------------------------------------------- client API
 
-    def predict(self, x: np.ndarray) -> np.ndarray:
-        """(b, T, D) -> (b, P, D); blocks until served (coalesced)."""
+    def predict(self, x: np.ndarray, timeout: Optional[float] = None) -> np.ndarray:
+        """(b, T, D) -> (b, P, D); blocks until served (coalesced).
+
+        ``timeout`` (seconds): raise TimeoutError instead of waiting
+        forever — a request deadline for callers that must not hang on a
+        stuck device."""
         t0 = time.perf_counter()
         item = _Pending(np.asarray(x, np.float32))
         self._queue.put(item)
-        item.event.wait()
+        if not item.event.wait(timeout):
+            raise TimeoutError(
+                f"predict not served within {timeout}s "
+                f"(queue depth {self._queue.qsize()})")
         if item.error is not None:
             raise item.error
         with self._stats_lock:

@@ -216,3 +216,18 @@ def test_replicate_to_pins_params():
     with _jax.default_device(dev):
         got = np.asarray(clone.predict(x))
     np.testing.assert_allclose(got, np.asarray(p.predict(x)), atol=1e-5)
+
+
+def test_predict_timeout_raises():
+    """A request deadline: predict(timeout=...) raises instead of hanging
+    forever when no worker will ever serve it (e.g. a stuck device)."""
+    import pytest
+
+    p = _predictor()
+    b = BatchingPredictor(p, max_batch=8, max_wait_ms=1.0)
+    b._stop.set()  # freeze the workers so nothing is ever served
+    for t in b._threads:
+        t.join(timeout=5)
+    with pytest.raises(TimeoutError, match="not served within"):
+        b.predict(np.zeros((2, 10, 66), np.float32), timeout=0.2)
+    b.close()
