@@ -82,11 +82,14 @@ class Predictor:
 
     def replicate_to(self, device) -> "Predictor":
         """A copy of this predictor pinned to ``device``: parameters
-        device_put there and (when active) the fused kernel rebuilt under
-        that device so its internal weight tiles land on it too. Serving
-        replication (serving_server.BatchingPredictor devices=...) uses one
-        replica per chip; callers must run the replica's predict under
-        ``jax.default_device(device)`` so inputs land on the same chip.
+        device_put there for the jitted forward, and (when active) the
+        fused kernel rebuilt from a host copy of the weights — the fused
+        constructors pre-pad weight TILES on the host; the tiles land on
+        whichever device executes the call, so each replica's worker must
+        run predict under ``jax.default_device(device)`` (which also places
+        the request inputs on that chip). The host weight copy is pulled
+        ONCE and cached on the source predictor, not once per replica (a
+        full-tree device->host sync costs ~30 ms+ on the tunneled runtime).
         """
         import copy as _copy
 
@@ -95,18 +98,21 @@ class Predictor:
         # stays with the original predictor
         clone.mesh = None
         clone._batch_sharding = None
-        clone.variables = jax.device_put(self.variables, device)
+        if not hasattr(self, "_host_variables"):
+            self._host_variables = jax.device_get(self.variables)
+        clone.variables = jax.device_put(self._host_variables, device)
         if self._fused is not None:
             with jax.default_device(device):
                 if isinstance(self.model, MlpMixer):
                     from .ops.pallas_mixer import FusedMlpMixer
 
-                    clone._fused = FusedMlpMixer(self.model, clone.variables)
+                    clone._fused = FusedMlpMixer(
+                        self.model, self._host_variables)
                 else:
                     from .ops.pallas_conv_mixer import make_fused_conv_mixer
 
                     clone._fused = make_fused_conv_mixer(
-                        self.model, clone.variables)
+                        self.model, self._host_variables)
         return clone
 
     @classmethod

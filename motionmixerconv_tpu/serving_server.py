@@ -40,6 +40,9 @@ class _Pending:
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[Exception] = None
+    # set by a timed-out client; workers drop abandoned items instead of
+    # spending device dispatches on results nobody will read
+    abandoned: bool = False
 
 
 class BatchingPredictor:
@@ -83,6 +86,7 @@ class BatchingPredictor:
             b *= 2
         self.buckets.append(max_batch)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._parked: dict = {}  # thread-id -> held item (single worker)
         self._stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_rows = 0
@@ -110,6 +114,7 @@ class BatchingPredictor:
         item = _Pending(np.asarray(x, np.float32))
         self._queue.put(item)
         if not item.event.wait(timeout):
+            item.abandoned = True  # workers drop it instead of serving it
             raise TimeoutError(
                 f"predict not served within {timeout}s "
                 f"(queue depth {self._queue.qsize()})")
@@ -138,10 +143,13 @@ class BatchingPredictor:
         self._stop.set()
         for t in self._threads:
             t.join(timeout=2.0)
-        # unblock any clients still queued — otherwise their predict()
-        # calls hang forever after shutdown (each worker error-sets its own
-        # held item on exit)
+        # unblock any clients still queued OR parked on a worker — even when
+        # the worker never exits (stuck in a wedged device call), otherwise
+        # their predict() calls hang forever after shutdown
         leftovers = []
+        with self._stats_lock:
+            leftovers.extend(self._parked.values())
+            self._parked.clear()
         while True:
             try:
                 leftovers.append(self._queue.get_nowait())
@@ -159,12 +167,35 @@ class BatchingPredictor:
 
     def warmup(self, input_shape) -> None:
         """Compile every bucket before serving ((T, D) per-row shape) — on
-        every device replica, so no chip ever compiles mid-request."""
-        for predictor, device in self._workers:
+        every device replica CONCURRENTLY, so startup stays near the
+        single-replica cost instead of multiplying by the replica count
+        (each remote compile is tens of seconds on the tunneled runtime)."""
+
+        def warm_one(predictor, device):
             with self._device_ctx(device):
                 for b in self.buckets:
                     x = np.zeros((b,) + tuple(input_shape), np.float32)
                     np.asarray(predictor.predict(x))
+
+        if len(self._workers) == 1:
+            warm_one(*self._workers[0])
+            return
+        errs = []
+
+        def guarded(p, d):
+            try:
+                warm_one(p, d)
+            except BaseException as e:
+                errs.append(e)
+
+        ts = [threading.Thread(target=guarded, args=w, daemon=True)
+              for w in self._workers]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        if errs:
+            raise errs[0]
 
     # ---------------------------------------------------------------- batcher
 
@@ -178,22 +209,40 @@ class BatchingPredictor:
 
         return jax.default_device(device)
 
+    def _park(self, held):
+        """Track a worker's held item so close() can unblock its client even
+        if the worker never exits (e.g. stuck in a wedged device call)."""
+        with self._stats_lock:
+            if held is None:
+                self._parked.pop(threading.get_ident(), None)
+            else:
+                self._parked[threading.get_ident()] = held
+
     def _drain(self, held):
         """Block for one request, then sweep stragglers up to max_batch.
 
-        A swept request that would push the wave past max_batch is held by
-        THIS worker for its next wave (``held``) instead of joining this one
-        — otherwise the overshot total lands above every warmed bucket and
-        the whole wave stalls on a fresh XLA compile.
-        Returns ``(items, held)``.
+        A swept request that would push the wave past max_batch must not
+        join this wave (the overshot total lands above every warmed bucket
+        and the whole wave stalls on a fresh XLA compile). With replicas it
+        goes BACK on the shared queue — any idle chip picks it up (true
+        work-stealing); a lone worker keeps it for its own next wave
+        (``held``), preserving arrival order. Abandoned (timed-out) items
+        are dropped unserved. Returns ``(items, held)``.
         """
         if held is not None:
             first, held = held, None
+            self._park(None)
+            if first.abandoned:
+                first = None
         else:
+            first = None
+        while first is None:
             try:
                 first = self._queue.get(timeout=0.1)
             except queue.Empty:
                 return [], None
+            if first.abandoned:
+                first = None
         items, rows = [first], first.x.shape[0]
         deadline = time.perf_counter() + self.max_wait
         while rows < self.max_batch:
@@ -204,8 +253,14 @@ class BatchingPredictor:
                 nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
+            if nxt.abandoned:
+                continue
             if rows + nxt.x.shape[0] > self.max_batch:
-                held = nxt
+                if len(self._workers) > 1:
+                    self._queue.put(nxt)  # an idle replica steals it
+                else:
+                    held = nxt
+                    self._park(held)
                 break
             items.append(nxt)
             rows += nxt.x.shape[0]
@@ -246,6 +301,7 @@ class BatchingPredictor:
                 for it in items:
                     it.event.set()
         if held is not None:  # drained but never served before shutdown
+            self._park(None)
             held.error = RuntimeError("BatchingPredictor closed")
             held.event.set()
 
@@ -350,7 +406,8 @@ def main(argv: Optional[list] = None) -> None:
     ap.add_argument("--replicas", type=int, default=0,
                     help="replicate serving across the first N visible "
                          "chips (each with its own parameter copy, pulling "
-                         "from the shared request queue); 0 = one device")
+                         "from the shared request queue); 0 = default "
+                         "single device, unpinned; N=1 pins one replica")
     # shape flags (reference CLI defaults, train_mixer_h36m.py:575-595 /
     # train_mixer_amass.py:235-246)
     ap.add_argument("--input_n", type=int, default=10)
@@ -396,7 +453,14 @@ def main(argv: Optional[list] = None) -> None:
     predictor = Predictor.from_checkpoint(
         model, args.model_path,
         sample_shape=(1, args.input_n, args.pose_dim))
-    devices = jax.devices()[:args.replicas] if args.replicas > 1 else None
+    devices = None
+    if args.replicas >= 1:
+        visible = jax.devices()
+        if args.replicas > len(visible):
+            raise SystemExit(
+                f"--replicas {args.replicas} exceeds the {len(visible)} "
+                f"visible devices")
+        devices = visible[:args.replicas]
     print("warming up (compiling every batch bucket"
           + (f" on {len(devices)} replicas" if devices else "") + ")...",
           flush=True)

@@ -230,4 +230,50 @@ def test_predict_timeout_raises():
         t.join(timeout=5)
     with pytest.raises(TimeoutError, match="not served within"):
         b.predict(np.zeros((2, 10, 66), np.float32), timeout=0.2)
+    # the timed-out request is marked abandoned so no worker wastes a
+    # device dispatch on it
+    assert b._queue.get_nowait().abandoned
     b.close()
+
+
+def test_abandoned_items_are_dropped_not_served():
+    """Workers skip abandoned (timed-out) requests instead of padding and
+    dispatching results nobody reads."""
+    from motionmixerconv_tpu.serving_server import _Pending
+
+    p = _predictor()
+    b = BatchingPredictor(p, max_batch=8, max_wait_ms=1.0)
+    b._stop.set()  # pause draining while we stage the queue
+    for t in b._threads:
+        t.join(timeout=5)
+    ghost = _Pending(np.zeros((2, 10, 66), np.float32))
+    ghost.abandoned = True
+    b._queue.put(ghost)
+    # restart one worker loop
+    b._stop.clear()
+    t = threading.Thread(target=b._loop, args=b._workers[0], daemon=True)
+    b._threads = [t]
+    t.start()
+    live = b.predict(np.ones((2, 10, 66), np.float32), timeout=30.0)
+    assert live.shape == (2, 5, 66)
+    assert not ghost.event.is_set()  # never served, never errored
+    s = b.stats()
+    assert s["batches"] == 1  # only the live wave dispatched
+    b.close()
+
+
+def test_close_unblocks_worker_held_request():
+    """A request parked as a worker's held overshoot is error-set by
+    close() even if the worker never exits (stuck device)."""
+    from motionmixerconv_tpu.serving_server import _Pending
+
+    p = _predictor()
+    b = BatchingPredictor(p, max_batch=8, max_wait_ms=1.0)
+    b._stop.set()
+    for t in b._threads:
+        t.join(timeout=5)
+    held = _Pending(np.zeros((2, 10, 66), np.float32))
+    b._park(held)  # simulate: worker parked it, then wedged forever
+    b.close()
+    assert held.event.is_set()
+    assert isinstance(held.error, RuntimeError)
