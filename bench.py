@@ -52,14 +52,9 @@ REFERENCE = "/root/reference"
 INPUT_N, OUTPUT_N, POSE_DIM = 10, 25, 66
 N_FRAMES = 120000  # synthetic corpus size (fits HBM easily at 96 dims)
 
-# bf16 peak FLOPs by device kind (MFU denominator; f32 true peak is lower)
-PEAK_FLOPS = {
-    "TPU v5 lite": 197e12,
-    "TPU v5e": 197e12,
-    "TPU v5p": 459e12,
-    "TPU v4": 275e12,
-    "TPU v6 lite": 918e12,
-}
+# bf16 peak FLOPs by device kind (MFU denominator; f32 true peak is lower).
+# Single source of truth shared with tools/roofline.py.
+from motionmixerconv_tpu.profiling import PEAK_FLOPS  # noqa: E402
 
 CONV_KW = dict(
     num_blocks=4, dimPosIn=POSE_DIM, dimPosEmb=50, dimPosOut=POSE_DIM,
@@ -526,7 +521,8 @@ def main():
         "baseline_ms": round(b, 2) if b else None,
     })
 
-    flagship = configs[2]  # b2048: the highest honest-throughput config
+    flagship = next(  # b2048: the highest honest-throughput config
+        c for c in configs if c["metric"] == "h36m_conv_b2048")
     print(json.dumps({
         "metric": "train_sequences_per_sec",
         "value": flagship["value"],

@@ -94,6 +94,18 @@ class PoseEncoder(nn.Module):
                 "computes direct trig once — there is no per-step trig to "
                 "eliminate)"
             )
+        if self.fused and self.precomputed and self.n_harmonic_functions > 0:
+            raise ValueError(
+                "fused=True does not combine with the corpus-level embedding "
+                "cache: the fused kernel computes the harmonics itself from "
+                "the RAW pose input; feeding it a precomputed (2nD) "
+                "embedding would fail deep inside the kernel reshape"
+            )
+        if self.fused and self.n_harmonic_functions > 0 and self.dtype is not None:
+            raise ValueError(
+                "fused=True is f32-only (the Pallas harmonic kernel "
+                "accumulates in f32); drop dtype or drop fused"
+            )
         if self.n_harmonic_functions <= 0:
             dim_harmonic = self.dimPosIn
         else:

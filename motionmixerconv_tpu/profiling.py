@@ -14,6 +14,24 @@ import contextlib
 import os
 import time
 
+# Per-chip hardware ceilings by jax device_kind — the ONE copy bench.py and
+# tools/roofline.py share (MFU denominators, physical-ceiling assertions,
+# roofline bounds). bf16 MXU peak FLOP/s and HBM bandwidth bytes/s.
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+PEAK_BYTES = {
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5p": 2765e9,
+    "TPU v4": 1228e9,
+    "TPU v6 lite": 1640e9,
+}
+
 
 @contextlib.contextmanager
 def profile_trace(log_dir: str | None):

@@ -592,10 +592,22 @@ class Trainer:
             ep_starts = jnp.asarray(ep_starts)
             ep_w = jnp.asarray(ep_w)
 
-        v_starts, v_w, _ = self._stack_eval_batches(
-            vald.window_starts, np.zeros(len(vald), np.int64), batch_size)
-        t_starts, t_w, t_gids = self._stack_eval_batches(
-            test_starts, test_gids, batch_size_test)
+        # the val/test eval index stacks depend only on the (fixed) window
+        # sets and batch sizes — cache them across chunks so a K-epoch run
+        # doesn't re-stack and re-upload identical arrays every chunk (each
+        # host->device transfer is a ~28-30 ms relay trip on the tunneled
+        # runtime this path exists to amortize)
+        ck = (id(vald), len(vald), batch_size,
+              id(test_starts), len(test_starts), batch_size_test)
+        cached = getattr(self, "_fused_eval_stacks", None)
+        if cached is None or cached[0] != ck:
+            v_starts, v_w, _ = self._stack_eval_batches(
+                vald.window_starts, np.zeros(len(vald), np.int64), batch_size)
+            t_starts, t_w, t_gids_d = self._stack_eval_batches(
+                test_starts, test_gids, batch_size_test)
+            self._fused_eval_stacks = (
+                ck, (v_starts, v_w, t_starts, t_w, t_gids_d))
+        _, (v_starts, v_w, t_starts, t_w, t_gids) = self._fused_eval_stacks
 
         run = self._fused_epochs_fn(test_kind, n_groups, teacher_forcing)
         state, (tl, vl, m1, m2, nn) = run(

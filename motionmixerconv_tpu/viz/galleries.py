@@ -12,8 +12,8 @@ study dataframes). This module reproduces both as a single driver:
 writes, into ``--out``:
 - ``tables.md`` — per-action MPJPE / AUC-PCK tables in the notebook's layout
   (cells 51-66 of visualization.ipynb; baseline numbers in BASELINE.md),
-- ``gifs/<action>.gif`` — input (blue) -> prediction (yellow) vs gt (blue)
-  skeleton animations per action (visualize_batch format,
+- ``visualization/<action>_<i>.gif`` — input (blue) -> prediction (yellow)
+  vs gt (blue) skeleton animations per action (visualize_batch format,
   conv_mixer/utils/visualization_helpers_h3m.py:70-197),
 - optionally ``study.md`` — kernel-grid + best-trials tables from a sweep
   directory (--study_dir), the optuna_visualization.ipynb content.
@@ -56,7 +56,6 @@ def h36m_galleries(checkpoint: str, data_dir: str, out_dir: str,
 
     acts = list(actions) if actions else define_actions("all")
     rows = []
-    gif_dir = os.path.join(out_dir, "gifs")
     for i, action in enumerate(acts):
         ds = H36MDataset(data_dir, args.input_n, args.output_n,
                          args.skip_rate, actions=[action], split=2, mode="xyz")
@@ -80,8 +79,8 @@ def h36m_galleries(checkpoint: str, data_dir: str, out_dir: str,
     lines.append(f"| **average** | **{m:.2f}** | **{a:.3f}** |")
     with open(os.path.join(out_dir, "tables.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    if os.path.isdir(gif_dir) or max_gifs:
-        print(f"wrote {out_dir}/tables.md and GIFs under {out_dir}/visualization")
+    where = f" and GIFs under {out_dir}/visualization" if max_gifs else ""
+    print(f"wrote {out_dir}/tables.md{where}")
     return rows
 
 

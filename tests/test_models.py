@@ -296,6 +296,33 @@ class TestDoublingHarmonics:
             r = PoseEncoder.harmonic_features(x, n, 0.1, impl="doubling")
             assert d.shape == r.shape == (self.N, 0)
 
+    def test_fused_incompatible_with_precomputed(self):
+        """fused computes harmonics from RAW input inside the kernel; a
+        precomputed (2nD) embedding must be rejected up front, not die in
+        a reshape deep inside the kernel wrapper."""
+        import jax
+
+        from motionmixerconv_tpu.models.encoding import PoseEncoder
+
+        enc = PoseEncoder(dimPosIn=6, dimPosEmb=8, conv_nChan=1,
+                          n_harmonic_functions=4, omega0=0.1,
+                          fused=True, precomputed=True)
+        with pytest.raises(ValueError, match="fused=True does not combine"):
+            enc.init(jax.random.PRNGKey(0),
+                     jnp.zeros((2, 10, 2 * 4 * 6), jnp.float32))
+
+    def test_fused_incompatible_with_dtype(self):
+        """fused + bf16 must raise, not silently benchmark the XLA path."""
+        import jax
+
+        from motionmixerconv_tpu.models.encoding import PoseEncoder
+
+        enc = PoseEncoder(dimPosIn=6, dimPosEmb=8, conv_nChan=1,
+                          n_harmonic_functions=4, omega0=0.1,
+                          fused=True, dtype=jnp.bfloat16)
+        with pytest.raises(ValueError, match="f32-only"):
+            enc.init(jax.random.PRNGKey(0), jnp.zeros((2, 10, 6)))
+
     def test_incompatible_with_precomputed(self):
         from motionmixerconv_tpu.models.encoding import PoseEncoder
 

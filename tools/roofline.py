@@ -29,8 +29,10 @@ import numpy as np
 N_FRAMES = 120000
 INPUT_N, OUTPUT_N = 10, 25
 
-PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v5p": 459e12}
-PEAK_BYTES = {"TPU v5 lite": 819e9, "TPU v5e": 819e9, "TPU v5p": 2765e9}
+from motionmixerconv_tpu.profiling import (  # single shared copy
+    PEAK_BYTES,
+    PEAK_FLOPS,
+)
 
 
 def _trainer(emb):
