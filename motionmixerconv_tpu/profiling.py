@@ -14,8 +14,10 @@ import contextlib
 import os
 import time
 
+import numpy as np
+
 # Per-chip hardware ceilings by jax device_kind — the ONE copy bench.py and
-# tools/roofline.py share (MFU denominators, physical-ceiling assertions,
+# tools/probe.py share (MFU denominators, physical-ceiling assertions,
 # roofline bounds). bf16 MXU peak FLOP/s and HBM bandwidth bytes/s.
 PEAK_FLOPS = {
     "TPU v5 lite": 197e12,
@@ -24,6 +26,11 @@ PEAK_FLOPS = {
     "TPU v4": 275e12,
     "TPU v6 lite": 918e12,
 }
+# f32 matmul on the MXU is implemented via multi-pass bf16 (>=2 passes with
+# f32 accumulation), so bf16_peak/2 is a hard upper bound on f32 FLOP/s.
+# Using the bf16 table for an f32 run would let a ~2x-inflated measurement
+# pass the ceiling gate (VERDICT r3 weak #2) — select by dtype instead.
+PEAK_FLOPS_F32 = {k: v / 2.0 for k, v in PEAK_FLOPS.items()}
 PEAK_BYTES = {
     "TPU v5 lite": 819e9,
     "TPU v5e": 819e9,
@@ -31,6 +38,58 @@ PEAK_BYTES = {
     "TPU v4": 1228e9,
     "TPU v6 lite": 1640e9,
 }
+
+# cost_analysis "bytes accessed" is an HLO-level estimate of HBM traffic;
+# small overcounts vs the true roof are possible on heavily-fused programs,
+# so the bandwidth gate allows this much headroom before declaring the
+# timing broken. FLOP counts have no such ambiguity — no slack there.
+_BYTES_CEILING_SLACK = 1.05
+
+
+def peak_flops_for(device_kind: str, dtype) -> float | None:
+    """Peak FLOP/s for ``device_kind`` at the given compute dtype.
+
+    bf16 (and narrower) uses the full MXU rate; float32 (and wider) is
+    bounded by the multi-pass rate (bf16/2).
+    """
+    try:
+        itemsize = np.dtype(dtype).itemsize
+    except TypeError:  # "bfloat16" before ml_dtypes registers it with numpy
+        itemsize = 2 if "16" in str(dtype) else 4
+    table = PEAK_FLOPS if itemsize <= 2 else PEAK_FLOPS_F32
+    return table.get(device_kind)
+
+
+def check_physical_ceilings(
+    name: str,
+    *,
+    device_kind: str,
+    dtype="float32",
+    flops_per_s: float | None = None,
+    bytes_per_s: float | None = None,
+) -> None:
+    """Fail LOUDLY if a measurement implies super-physical throughput.
+
+    Guards both roofs (VERDICT r3 items 1-2): achieved FLOP/s against the
+    dtype-appropriate MXU peak, and achieved HBM bytes/s against the memory
+    roof. Unknown device kinds (e.g. CPU test runs) check nothing.
+    """
+    if flops_per_s is not None:
+        peak = peak_flops_for(device_kind, dtype)
+        if peak and flops_per_s > peak:
+            raise RuntimeError(
+                f"bench '{name}' implies {flops_per_s:.3g} FLOP/s > "
+                f"{device_kind} {dtype} peak {peak:.3g} — timing or FLOP "
+                f"accounting is broken"
+            )
+    if bytes_per_s is not None:
+        roof = PEAK_BYTES.get(device_kind)
+        if roof and bytes_per_s > roof * _BYTES_CEILING_SLACK:
+            raise RuntimeError(
+                f"bench '{name}' implies {bytes_per_s:.3g} HBM bytes/s > "
+                f"{device_kind} roof {roof:.3g} — timing or byte "
+                f"accounting is broken"
+            )
 
 
 @contextlib.contextmanager

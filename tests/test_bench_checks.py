@@ -1,0 +1,129 @@
+"""Honesty gates + outage behavior of the bench harness (VERDICT r3 items
+1-2): the dtype-aware FLOP ceiling, the HBM bandwidth ceiling, and bench.py's
+bounded-probe → structured-skip path (rc 0, machine-readable JSON, torch
+baselines still present).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from motionmixerconv_tpu.profiling import (
+    PEAK_BYTES,
+    PEAK_FLOPS,
+    PEAK_FLOPS_F32,
+    check_physical_ceilings,
+    peak_flops_for,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+KIND = "TPU v5 lite"
+
+
+class TestCeilings:
+    def test_f32_run_gated_by_f32_peak(self):
+        """An f32 measurement between the f32 and bf16 peaks must raise —
+        this is exactly the 2x-inflated case the bf16-only gate passed."""
+        flops = (PEAK_FLOPS_F32[KIND] + PEAK_FLOPS[KIND]) / 2
+        with pytest.raises(RuntimeError, match="float32 peak"):
+            check_physical_ceilings(
+                "fabricated", device_kind=KIND, dtype="float32",
+                flops_per_s=flops)
+
+    def test_bf16_run_allows_full_mxu_rate(self):
+        flops = (PEAK_FLOPS_F32[KIND] + PEAK_FLOPS[KIND]) / 2
+        check_physical_ceilings(  # same number, bf16 dtype: legal
+            "ok", device_kind=KIND, dtype="bfloat16", flops_per_s=flops)
+        with pytest.raises(RuntimeError, match="bfloat16 peak"):
+            check_physical_ceilings(
+                "fab", device_kind=KIND, dtype="bfloat16",
+                flops_per_s=PEAK_FLOPS[KIND] * 1.01)
+
+    def test_bandwidth_roof(self):
+        roof = PEAK_BYTES[KIND]
+        check_physical_ceilings(  # within the documented 5% estimate slack
+            "ok", device_kind=KIND, bytes_per_s=roof * 1.04)
+        with pytest.raises(RuntimeError, match="HBM bytes/s"):
+            check_physical_ceilings(
+                "fab", device_kind=KIND, bytes_per_s=roof * 1.10)
+
+    def test_unknown_device_checks_nothing(self):
+        check_physical_ceilings(
+            "cpu-run", device_kind="cpu", dtype="float32",
+            flops_per_s=1e30, bytes_per_s=1e30)
+
+    def test_peak_table_selection(self):
+        import numpy as np
+
+        assert peak_flops_for(KIND, np.float32) == PEAK_FLOPS_F32[KIND]
+        assert peak_flops_for(KIND, "bfloat16") == PEAK_FLOPS[KIND]
+        assert peak_flops_for("nope", "float32") is None
+
+
+class TestProbe:
+    def test_healthy_probe(self):
+        sys.path.insert(0, REPO)
+        try:
+            import bench
+        finally:
+            sys.path.remove(REPO)
+        ok, tail = bench._probe_device(timeout_s=10, cmd=["true"])
+        assert ok and tail == ""
+
+    def test_failing_probe_returns_tail(self):
+        sys.path.insert(0, REPO)
+        try:
+            import bench
+        finally:
+            sys.path.remove(REPO)
+        ok, tail = bench._probe_device(
+            timeout_s=10,
+            cmd=[sys.executable, "-c",
+                 "import sys; sys.stderr.write('UNAVAILABLE: boom');"
+                 "sys.exit(1)"])
+        assert not ok and "UNAVAILABLE" in tail
+
+    def test_hung_probe_hits_wall_clock_cap(self):
+        sys.path.insert(0, REPO)
+        try:
+            import bench
+        finally:
+            sys.path.remove(REPO)
+        ok, tail = bench._probe_device(timeout_s=0.2, cmd=["sleep", "30"])
+        assert not ok and "wall-clock cap" in tail
+
+
+class TestSkipRecord:
+    def test_bench_emits_structured_skip_rc0(self, tmp_path):
+        """bench.py with an unavailable backend: rc 0, ONE parseable JSON
+        line with the skip reason, probe tail, and cached torch baselines —
+        never the rc-124 shell of BENCH_r03."""
+        env = dict(os.environ)
+        env["MMC_BENCH_PROBE_CMD"] = "false"
+        env["MMC_BENCH_NO_LIVE_BASELINE"] = "1"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, timeout=120, env=env, cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        rec = json.loads(r.stdout.decode().strip().splitlines()[-1])
+        assert rec["skipped"] == "backend unavailable"
+        assert rec["metric"] == "train_sequences_per_sec"
+        assert rec["value"] is None and rec["vs_baseline"] is None
+        # the torch-CPU baselines the bench CAN measure are still emitted
+        # (from the committed cache under MMC_BENCH_NO_LIVE_BASELINE)
+        assert rec["torch_baselines"].get("h36m_conv_b2048", 0) > 0
+
+    def test_backend_error_classifier(self):
+        sys.path.insert(0, REPO)
+        try:
+            import bench
+        finally:
+            sys.path.remove(REPO)
+        assert bench._is_backend_unavailable(RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: TPU backend "
+            "setup/compile error (Unavailable)."))
+        assert not bench._is_backend_unavailable(ValueError("shape mismatch"))

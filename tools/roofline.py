@@ -32,6 +32,7 @@ INPUT_N, OUTPUT_N = 10, 25
 from motionmixerconv_tpu.profiling import (  # single shared copy
     PEAK_BYTES,
     PEAK_FLOPS,
+    check_physical_ceilings,
 )
 
 
@@ -98,6 +99,13 @@ def measure(emb, batch, n_batches, frames, reps=5):
         run()
         ts.append(time.perf_counter() - t0)
     dt = float(np.median(ts))
+    check_physical_ceilings(
+        f"roofline emb={emb} b={batch}",
+        device_kind=getattr(jax.devices()[0], "device_kind", ""),
+        dtype=jax.tree_util.tree_leaves(state.params)[0].dtype,
+        flops_per_s=step_flops * n_batches / dt,
+        bytes_per_s=step_bytes * n_batches / dt,
+    )
     return {
         "emb": emb, "batch": batch, "n_batches": n_batches,
         "epoch_ms": dt * 1e3, "step_us": dt / n_batches * 1e6,
