@@ -270,6 +270,11 @@ class BatchingPredictor:
         held = None
         while not self._stop.is_set():
             items, held = self._drain(held)
+            # re-check deadlines at wave assembly: a request can time out
+            # between being swept off the queue and the device call, and
+            # serving it anyway spends a dispatch on a result nobody reads
+            # (under sustained deadline pressure that starves live requests)
+            items = [it for it in items if not it.abandoned]
             if not items:
                 continue
             bucket = 0

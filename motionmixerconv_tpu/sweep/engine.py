@@ -164,11 +164,14 @@ class FrozenTrial:
 
 
 class MedianPruner:
-    """optuna.pruners.MedianPruner semantics: prune when the trial's value
-    reported at step s is worse than the median of COMPLETE trials' values
-    at that same step. ``n_startup_trials`` completed trials are required
-    before any pruning; steps below ``n_warmup_steps`` never prune; only
-    every ``interval_steps``-th step past warmup is checked.
+    """optuna.pruners.MedianPruner semantics: prune when the trial's RUNNING
+    BEST intermediate value up to step s is worse than the median of COMPLETE
+    trials' running-best values up to that same step (optuna compares
+    running bests on both sides, so non-monotone learning curves are judged
+    by their best point, not their latest). ``n_startup_trials`` completed
+    trials are required before any pruning; steps below ``n_warmup_steps``
+    never prune; only every ``interval_steps``-th step past warmup is
+    checked; a NaN report always prunes.
     """
 
     def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0,
@@ -183,8 +186,7 @@ class MedianPruner:
         if not trial.intermediate_values:
             return False
         step = max(trial.intermediate_values)
-        value = trial.intermediate_values[step]
-        if math.isnan(value):
+        if math.isnan(trial.intermediate_values[step]):
             return True  # a diverged trial is always prunable (optuna too)
         if step < self.n_warmup_steps:
             return False
@@ -193,10 +195,22 @@ class MedianPruner:
         done = [t for t in study.trials if t.state == "COMPLETE"]
         if len(done) < self.n_startup_trials:
             return False
+
+        maximize = study.directions[0] == "maximize"
+
+        def running_best(iv: dict) -> Optional[float]:
+            vals = [v for s, v in iv.items()
+                    if s <= step and not math.isnan(v)]
+            if not vals:
+                return None
+            return max(vals) if maximize else min(vals)
+
+        value = running_best(trial.intermediate_values)
+        if value is None:
+            return False
         peers = sorted(
-            v for t in done
-            if step in t.intermediate_values
-            and not math.isnan(v := t.intermediate_values[step])
+            b for t in done
+            if (b := running_best(t.intermediate_values)) is not None
         )
         if not peers:
             return False
@@ -409,6 +423,14 @@ class Study:
                 print(f"trial {trial.number} failed: {e}")
                 self._record(trial, "FAIL", None)
                 return
+            except BaseException:
+                # uncaught objective error: record the trial as FAIL before
+                # propagating (optuna does the same), so a sqlite resume
+                # sees a contiguous trial-number sequence — under n_jobs>1
+                # higher-numbered concurrent trials may still complete, and
+                # an unrecorded crash would make max+1 skip this grid point
+                self._record(trial, "FAIL", None)
+                raise
             values = (list(result) if isinstance(result, (tuple, list))
                       else [result])
             self._record(trial, "COMPLETE", [float(v) for v in values])

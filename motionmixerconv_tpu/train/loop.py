@@ -18,6 +18,7 @@ Reference call-stack parity: h36m/train_mixer_h36m.py:47-279 (train),
 from __future__ import annotations
 
 import functools
+import hashlib
 from typing import Optional
 
 import jax
@@ -596,9 +597,17 @@ class Trainer:
         # sets and batch sizes — cache them across chunks so a K-epoch run
         # doesn't re-stack and re-upload identical arrays every chunk (each
         # host->device transfer is a ~28-30 ms relay trip on the tunneled
-        # runtime this path exists to amortize)
-        ck = (id(vald), len(vald), batch_size,
-              id(test_starts), len(test_starts), batch_size_test)
+        # runtime this path exists to amortize). Keyed on CONTENT, not id():
+        # CPython recycles ids after GC, so an equal-length fresh corpus
+        # could otherwise silently hit a stale stack.
+        def _content_key(a):
+            a = np.asarray(a)
+            return (a.shape, a.dtype.str,
+                    hashlib.sha1(a.tobytes()).hexdigest())
+
+        ck = (_content_key(vald.window_starts), batch_size,
+              _content_key(test_starts), _content_key(test_gids),
+              batch_size_test)
         cached = getattr(self, "_fused_eval_stacks", None)
         if cached is None or cached[0] != ck:
             v_starts, v_w, _ = self._stack_eval_batches(

@@ -91,6 +91,52 @@ def test_direct_fused_matches_per_epoch_loop():
                                    atol=1e-6)
 
 
+def test_eval_stack_cache_keyed_on_content():
+    """The fused path's device-resident eval-stack cache must key on window
+    CONTENT: an equal-length but different val set gets fresh stacks (an
+    id()-keyed cache could stale-hit after GC recycles ids — ADVICE r3),
+    while an equal-content copy still hits."""
+    seq_len = IN_N + OUT_N
+    frames = _frames(500, 0)
+    corpus = _corpus(frames, 60, 1, seq_len)
+    vald1 = _corpus(frames, 40, 2, seq_len)
+    vald2 = _corpus(frames, 40, 9, seq_len)  # same length, different starts
+    test_starts = np.asarray(_corpus(frames, 60, 3, seq_len).window_starts)
+    test_gids = np.repeat(np.arange(3), 20)
+
+    tr = _conv_trainer()
+
+    def run(vald):
+        st = tr.init_state(jax.random.PRNGKey(7))
+        _, out = tr.run_epochs_fused(
+            st, corpus, frames, 32, [0], vald, frames,
+            frames, test_starts, test_gids, 3, "simple", 32)
+        return out
+
+    out1 = run(vald1)
+    k1 = tr._fused_eval_stacks[0]
+    del vald1  # allow id reuse — the stale-hit precondition
+    out2 = run(vald2)
+    k2 = tr._fused_eval_stacks[0]
+    assert k1 != k2  # different content -> cache miss
+    assert not np.allclose(out1["val"], out2["val"])
+
+    # ground truth from a cache-free trainer: vald2 really was evaluated
+    tr_f = _conv_trainer()
+    st_f = tr_f.init_state(jax.random.PRNGKey(7))
+    _, out_f = tr_f.run_epochs_fused(
+        st_f, corpus, frames, 32, [0], vald2, frames,
+        frames, test_starts, test_gids, 3, "simple", 32)
+    np.testing.assert_allclose(out2["val"], out_f["val"], rtol=1e-6)
+
+    # equal CONTENT in a fresh object still hits the cache
+    vald2_copy = WindowedCorpus(frames=frames,
+                                window_starts=vald2.window_starts.copy(),
+                                seq_len=seq_len)
+    run(vald2_copy)
+    assert tr._fused_eval_stacks[0] == k2
+
+
 def test_ar_fused_matches_per_epoch_loop():
     """AR fused chunks (one TF, one closed-loop) vs the per-epoch AR path."""
     seq_len = IN_N + OUT_N

@@ -6,8 +6,10 @@ port objectives against. The reference studies don't prune (they run
 fixed-epoch trials), so this pins the native engine's semantics against
 optuna's documented MedianPruner behavior: no pruning before
 n_startup_trials COMPLETE trials, warmup steps exempt, prune when the
-reported value is worse than the median of completed trials at the same
-step. Intermediate values persist to sqlite and export into optuna's
+trial's running-best intermediate is worse than the median of completed
+trials' running bests up to the same step (both sides use running bests,
+so non-monotone curves are judged by their best point). Intermediate
+values persist to sqlite and export into optuna's
 trial_intermediate_values (schema-12) table.
 """
 
@@ -84,6 +86,26 @@ class TestMedianPruner:
         study.optimize(_objective([2.0, 2.0, 2.0, 2.0, 2.0]), n_trials=1)
         study.optimize(_objective([1.0, 1.0, 1.0, 1.0, 1.0]), n_trials=1)
         assert all(t.state == "COMPLETE" for t in study.trials)
+
+    def test_running_best_keeps_nonmonotone_trial(self):
+        """A spiky curve whose BEST point beats the median survives even
+        when its LATEST report is worse — latest-value pruning would kill
+        it at step 2 (ADVICE r3: optuna compares running bests)."""
+        study = Study("p7", sampler=RandomSampler(seed=0),
+                      pruner=MedianPruner(n_startup_trials=1))
+        study.optimize(_objective([2.0, 2.0, 2.0, 2.0, 2.0]), n_trials=1)
+        study.optimize(_objective([2.0, 1.0, 3.0, 3.0, 3.0]), n_trials=1)
+        assert [t.state for t in study.trials] == ["COMPLETE", "COMPLETE"]
+
+    def test_peer_running_best_counts(self):
+        """Peers are judged by their running best too: a peer that dipped
+        to 1.0 early sets the bar at 1.0 for later steps, even though its
+        same-step values regressed to 3.0."""
+        study = Study("p8", sampler=RandomSampler(seed=0),
+                      pruner=MedianPruner(n_startup_trials=1))
+        study.optimize(_objective([1.0, 3.0, 3.0, 3.0, 3.0]), n_trials=1)
+        study.optimize(_objective([2.0, 2.0, 2.0, 2.0, 2.0]), n_trials=1)
+        assert study.trials[1].state == "PRUNED"
 
     def test_no_pruner_never_prunes(self):
         study = Study("p6", sampler=RandomSampler(seed=0))

@@ -262,6 +262,30 @@ def test_abandoned_items_are_dropped_not_served():
     b.close()
 
 
+def test_abandoned_mid_sweep_skips_device_dispatch():
+    """A request that times out AFTER being swept off the queue (while the
+    worker is still coalescing its wave) is dropped at wave assembly — no
+    device dispatch is spent on a result nobody reads (ADVICE r3)."""
+    import time
+
+    p = _predictor()
+    calls = []
+    orig_predict = p.predict
+    p.predict = lambda x: (calls.append(np.asarray(x).shape),
+                           orig_predict(x))[1]
+    # long coalescing window: the worker holds the request as its wave's
+    # `first` for 400 ms while the client's 100 ms deadline expires
+    b = BatchingPredictor(p, max_batch=64, max_wait_ms=400.0)
+    try:
+        with np.testing.assert_raises(TimeoutError):
+            b.predict(np.ones((2, 10, 66), np.float32), timeout=0.1)
+        time.sleep(0.8)  # sweep window + assembly both elapse
+        assert calls == []  # the fix: no dispatch for the abandoned wave
+        assert b.stats()["batches"] == 0
+    finally:
+        b.close()
+
+
 def test_close_unblocks_worker_held_request():
     """A request parked as a worker's held overshoot is error-set by
     close() even if the worker never exits (stuck device)."""

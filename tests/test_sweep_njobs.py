@@ -97,6 +97,8 @@ class TestNJobsStorageAndErrors:
 
         with pytest.raises(ValueError, match="boom"):
             study.optimize(objective, n_trials=4)
+        # optuna records the crashed trial as FAIL before raising
+        assert [t.state for t in study.trials] == ["FAIL"]
 
     def test_uncaught_error_propagates_from_workers(self):
         study = Study("uw", sampler=RandomSampler(seed=0))
@@ -107,6 +109,12 @@ class TestNJobsStorageAndErrors:
 
         with pytest.raises(ValueError, match="boom"):
             study.optimize(objective, n_trials=8, n_jobs=3)
+        # every issued trial is recorded (crashes as FAIL) so trial numbers
+        # stay contiguous — an unrecorded crash would make a sqlite resume's
+        # max+1 numbering skip that grid point forever (ADVICE r3)
+        assert all(t.state == "FAIL" for t in study.trials)
+        nums = sorted(t.number for t in study.trials)
+        assert nums == list(range(len(nums)))
 
 
 class TestDevicePlacement:
