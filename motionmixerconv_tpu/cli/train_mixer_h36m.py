@@ -78,7 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "removes is hidden behind the same HBM "
                              "traffic) — kept as the reproduction of "
                              "DESIGN.md §6's adjudication, "
-                             "tools/perf_probe13/14.py")
+                             "tools/probe.py encoder")
     return parser
 
 

@@ -160,7 +160,7 @@ class PoseEncoder(nn.Module):
         2^24) both methods agree to each other's own f64 error; above it
         both are deterministic uniform-on-circle noise — the reference's
         torch.sin of ~1e17-radian f32 angles carries no information either.
-        Measured band: tools/perf_probe13.py; tests/test_models.py pins the
+        Measured band: `tools/probe.py encoder`; tests/test_models.py pins the
         agreement band and the unit-circle bound.
         """
         from ..ops.pallas_harmonic import _double  # the shared step; the

@@ -1,7 +1,7 @@
 """Fused harmonic-embedding x Dense Pallas kernel with a custom VJP.
 
-Why this kernel exists (measured, round 3 — tools/roofline.py +
-tools/perf_probe2/3.py): the flagship H36M ConvMixer's training step is
+Why this kernel exists (measured, round 3 — `tools/probe.py roofline` +
+`tools/probe.py decomp --forward-detail`): the flagship H36M ConvMixer's training step is
 HBM-BANDWIDTH-bound (500-675 GB/s achieved, 61-82% of the v5e's 819 GB/s),
 and the dominant traffic is the PoseEncoder's materialized harmonic
 embedding: XLA cannot fuse the sin/cos producer into a dot operand, so the

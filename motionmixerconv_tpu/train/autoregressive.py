@@ -16,7 +16,7 @@ TPU mapping:
   compiled program size):
   reverse-mode through ``lax.scan`` residual-saves and runs a backward scan
   that blocks XLA fusion across step boundaries, measured 3.4x slower than
-  the unrolled chain at the production config (tools/perf_probe10.py: grad
+  the unrolled chain at the production config (probe 10, r3; reproduce: `tools/probe.py ar`: grad
   scan 26.96 ms vs unrolled 7.94 ms per b50 step). Gradients flow through
   the unrolled chain exactly like the reference's single backward through
   its Python loop (train_autoreg_mixer_h36m.py:233-253 — no detach on the
@@ -33,7 +33,7 @@ import numpy as np
 
 # Closed-loop rollouts up to this many steps are unrolled (measured 3.4x
 # faster in reverse-mode than lax.scan at the production n_steps=5,
-# tools/perf_probe10.py); longer rollouts use lax.scan to keep the compiled
+# `tools/probe.py ar`); longer rollouts use lax.scan to keep the compiled
 # program O(1) in n_steps (an unrolled chain embeds n_steps forward+backward
 # model copies per scan-epoch step — minutes-scale remote compiles).
 UNROLL_MAX_STEPS = 8

@@ -254,7 +254,7 @@ class TestDoublingHarmonics:
         r = doubling.reshape(self.N, 2, self.D, n)
         # below the crossover both methods carry real signal and must agree;
         # tolerances follow the doubling's own error growth (~2x/harmonic,
-        # see tools/perf_probe13.py and the docstring's error analysis)
+        # see `tools/probe.py encoder` and the docstring's error analysis)
         np.testing.assert_allclose(r[..., :8], d[..., :8], atol=1e-4)
         np.testing.assert_allclose(r[..., :16], d[..., :16], atol=5e-2)
 

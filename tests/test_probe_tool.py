@@ -1,0 +1,74 @@
+"""tools/probe.py — the consolidated DESIGN §6 reproduction harness.
+
+Smoke-runs the probe subcommands at tiny sizes on CPU so the reproduction
+commands cited by DESIGN §6 cannot rot as the code moves (VERDICT r3 item
+7). Numbers are not asserted (CPU timings are meaningless); structure is:
+each subcommand must exit 0 and write a parseable JSON artifact with the
+expected keys.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY = ["--n-frames", "1200", "--n-batches", "3", "--reps", "1"]
+
+
+def _run(args, timeout=600):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""  # disable the axon sitecustomize
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "probe.py"), *args],
+        capture_output=True, timeout=timeout, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    return r.stdout.decode()
+
+
+def _artifact(name):
+    with open(f"/tmp/probe_{name}.json") as f:
+        return json.load(f)
+
+
+def test_help_lists_all_subcommands():
+    out = _run(["--help"], timeout=60)
+    for sub in ("roofline", "decomp", "encoder", "fused-in-scan", "ar",
+                "serving", "fused-epochs", "njobs"):
+        assert sub in out
+
+
+def test_roofline_smoke():
+    _run(["roofline", *TINY, "--batches", "16", "--no-lane-check"])
+    art = _artifact("roofline")
+    row = art["b16"]
+    assert row["step_us"] > 0 and row["seq_per_s"] > 0
+    assert row["mflop_per_step"] > 0  # cost_analysis wired up
+
+
+def test_decomp_smoke_accounts_full_step():
+    _run(["decomp", *TINY, "--batches", "16", "--forward-detail"])
+    art = _artifact("decomp")
+    row = art["b16"]
+    phases = row["phases"]
+    assert list(phases) == ["gather", "fwd", "grad", "optimizer"]
+    # cumulative phases telescope: exclusive times sum to the full step
+    total_excl = sum(p["excl_us"] for p in phases.values())
+    assert abs(total_excl - row["full"]["step_us"]) < 1e-6
+    # the forward detail must include a non-hoisted embed matmul
+    assert row["forward_detail"]["embed_mm"]["us"] > 1.0
+    assert row["forward_detail"]["trig_only"]["us"] > 0
+
+
+@pytest.mark.slow
+def test_encoder_smoke():
+    _run(["encoder", *TINY, "--batches", "16",
+          "--variants", "direct", "nharm0", "doubling"])
+    art = _artifact("encoder")
+    row = art["b16"]
+    assert set(row) == {"direct", "nharm0", "doubling"}
+    assert row["nharm0"]["vs_direct"] > 1.0  # no-encoder step must be faster
