@@ -101,6 +101,101 @@ def test_h36m_lockstep_convergence(recorded, tmp_path_factory):
     )
 
 
+def test_h36m_lockstep_drift_curve_shape(recorded):
+    """The drift story DEMONSTRATED (VERDICT r3 item 4): the committed
+    per-epoch parameter-distance curves between the lockstep twins must
+    have the accumulated-round-off shape, which a latent semantic mismatch
+    could not produce:
+
+    - growth happens at full lr and freezes when the milestone drops lr
+      10x (measured: post-milestone increments ~170x smaller) — a schedule
+      or semantics mismatch around the milestone would JUMP there instead;
+    - the lr/10 control pair drifts much less at identical step counts
+      (round-off per step is amplified by the Adam step size);
+    - the test-metric gap TRACKS the parameter distance (near-zero while
+      params are close, grows and saturates with them).
+    """
+    r = recorded["results"]
+    if "jax_h36m_sync_drift" not in r:
+        pytest.skip("drift phases not recorded in this golden")
+    dr = np.asarray(r["jax_h36m_sync_drift"]["param_drift_rel"])
+    dl = np.asarray(r["jax_h36m_sync_lowlr"]["param_drift_rel"])
+    milestone = 15  # H36M_SYNC_CFG milestones=[15]
+    assert np.all(np.isfinite(dr)) and np.all(dr < 1.0)
+    pre = float(np.max(np.diff(dr[: milestone + 1])))
+    post = float(np.max(np.abs(np.diff(dr[milestone:]))))
+    assert post < 0.1 * pre, (pre, post)  # lr drop freezes the drift
+    # drift scales with the step size: lr/10 => far smaller distance at
+    # the same step count
+    assert dl[-1] < 0.7 * dr[-1], (dl[-1], dr[-1])
+    assert dl[0] < 0.7 * dr[0], (dl[0], dr[0])
+    # the test-metric gap tracks the parameter distance
+    gaps = np.asarray([
+        abs(a - b) / abs(b)
+        for a, b in zip(r["jax_h36m_sync_drift"]["test_per_epoch"],
+                        r["torch_h36m_sync_drift"]["test_per_epoch"])])
+    assert gaps[0] < 1e-3  # eval-pipeline parity at near-matched params
+    assert float(np.corrcoef(dr, gaps)[0, 1]) > 0.5
+    low_gaps = np.asarray([
+        abs(a - b) / abs(b)
+        for a, b in zip(r["jax_h36m_sync_lowlr"]["test_per_epoch"],
+                        r["torch_h36m_sync_lowlr"]["test_per_epoch"])])
+    assert low_gaps[-1] < gaps[-1]  # metric gap scales down with lr too
+    # internal consistency: the capture re-run reproduced the original
+    # lockstep run bit-for-bit on the torch side
+    assert (r["torch_h36m_sync_drift"]["train_per_epoch"]
+            == r["torch_h36m_sync"]["train_per_epoch"])
+
+
+@pytest.mark.slow
+def test_h36m_lockstep_drift_endpoint_reproduces(recorded, tmp_path_factory):
+    """Re-run the JAX lockstep side and recompute the drift-curve ENDPOINT
+    against the committed torch final-epoch params (parity_drift.npz):
+    current code must land at the recorded distance, not merely inside
+    loose metric tolerances."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(GOLDEN), "..", "tools"))
+    import jax
+    import parity_runs as pr
+
+    from motionmixerconv_tpu.models import convert_conv_mixer
+    from motionmixerconv_tpu.train.state import load_variables
+
+    r = recorded["results"]
+    if "jax_h36m_sync_drift" not in r:
+        pytest.skip("drift phases not recorded in this golden")
+    pr.OUT_INIT = os.path.join(GOLDEN, "parity_init.npz")
+    work = str(tmp_path_factory.mktemp("parity_drift"))
+    from motionmixerconv_tpu.data import fixtures
+
+    c = recorded["h36m_cfg"]
+    data_dir = os.path.join(work, "h36m")
+    fixtures.make_h36m_corpus(data_dir, n_frames=c["n_frames"],
+                              seed=c["data_seed"])
+    init = pr._load_init("h36m_sync_drift")
+    pr.jax_h36m_sync(data_dir, work, init_variables=init,
+                     tag="h36m_sync_drift")
+
+    def flat(params):
+        return np.concatenate([
+            np.ravel(np.asarray(x))
+            for x in jax.tree_util.tree_leaves(params)]).astype(np.float64)
+
+    ckpt = os.path.join(work, "jax_h36m_sync_drift",
+                        f"h36_3d_{c['output_n']}frames_ckpt", "model.ckpt")
+    ours = flat(load_variables(ckpt, init)["params"])
+    data = np.load(os.path.join(GOLDEN, "parity_drift.npz"))
+    sd = {k.split("::", 1)[1]: data[k] for k in data.files
+          if k.startswith("h36m_sync_drift::")}
+    ref = flat(convert_conv_mixer(sd, num_blocks=c["num_blocks"])["params"])
+    rel = float(np.linalg.norm(ours - ref) / np.linalg.norm(ref))
+    rec = r["jax_h36m_sync_drift"]["param_drift_rel"][-1]
+    # the curve saturates in a chaotic regime; platform/XLA-version noise
+    # moves the endpoint a little, a semantic change moves it a lot
+    assert abs(rel - rec) < 0.15, (rel, rec)
+
+
 @pytest.mark.slow
 def test_amass_matched_init_convergence(recorded, tmp_path_factory):
     import sys

@@ -42,6 +42,9 @@ REFERENCE = "/root/reference"
 OUT_MD = os.path.join(REPO, "PARITY_RUNS.md")
 OUT_JSON = os.path.join(REPO, "tests", "golden", "parity_runs.json")
 OUT_INIT = os.path.join(REPO, "tests", "golden", "parity_init.npz")
+# final-epoch torch params of the lockstep drift pairs, so the slow test can
+# re-run the JAX side and recompute the drift-curve ENDPOINT exactly
+OUT_DRIFT = os.path.join(REPO, "tests", "golden", "parity_drift.npz")
 
 # ---- shared run configs (mirrored exactly by tests/test_parity_runs.py) ----
 
@@ -91,6 +94,14 @@ H36M_SYNC_CFG = dict(
     # remaining divergence sources are numeric (GELU/mish kernels, Adam
     # arithmetic, f32 reduction order)
     regularization=0.0, torch_seed=104, order_seed=977,
+)
+H36M_SYNC_LOWLR_CFG = dict(
+    # drift-scaling control (VERDICT r3 item 4): the same lockstep protocol
+    # at lr/10. If the end-of-run gap really is accumulated per-step f32
+    # round-off amplified by Adam step size — not a latent semantic
+    # mismatch — the parameter-distance curve must shrink with the step
+    # size at identical step counts, and stay smooth across the milestone.
+    H36M_SYNC_CFG, lr=1e-4, torch_seed=105,
 )
 SEED_STUDY_EPOCHS = 6
 TORCH_SEEDS = (0, 1, 2, 3)
@@ -178,11 +189,18 @@ def torch_h36m(data_dir, work):
     }, init_sd
 
 
-def torch_h36m_sync(data_dir, work):
+def torch_h36m_sync(data_dir, work, c=None, tag="h36m_sync",
+                    capture_epochs=False):
     """Reference train() with dropout off and a DETERMINISTIC batch-order
     stream: the train DataLoader's shuffle is replaced by a sampler that
     draws the shared ``_sync_order`` permutation each epoch (the val loader
-    gets its own fixed stream too — validation is order-independent)."""
+    gets its own fixed stream too — validation is order-independent).
+
+    ``capture_epochs``: additionally record the model's state_dict after
+    EVERY epoch (the reference saves it each epoch at
+    train_mixer_h36m.py:276 — intercepted via torch.save) into
+    ``<work>/torch_<tag>_epochs.npz``, the torch side of the per-epoch
+    parameter-distance curve (VERDICT r3 item 4)."""
     import torch
     from torch.utils.data import Sampler
 
@@ -210,13 +228,13 @@ def torch_h36m_sync(data_dir, work):
             kw["sampler"] = _FixedOrderSampler(len(dataset))
         return real_dl(dataset, **kw)
 
-    c = H36M_SYNC_CFG
+    c = c or H36M_SYNC_CFG
     model = _torch_conv_model(torch, c, c["torch_seed"],
                               regularization=c["regularization"])
-    init_sd = {f"h36m_sync::{k}": v.detach().clone().numpy()
+    init_sd = {f"{tag}::{k}": v.detach().clone().numpy()
                for k, v in model.state_dict().items()}
     args = argparse.Namespace(
-        data_dir=data_dir, save_path=os.path.join(work, "torch_h36m_sync"),
+        data_dir=data_dir, save_path=os.path.join(work, f"torch_{tag}"),
         input_n=c["input_n"], output_n=c["output_n"], skip_rate=c["skip_rate"],
         num_worker=0, dev="cpu", n_epochs=c["n_epochs"],
         batch_size=c["batch_size"], batch_size_test=c["batch_size_test"],
@@ -226,12 +244,29 @@ def torch_h36m_sync(data_dir, work):
         load_checkpoint=False,
     )
     t0 = time.time()
+    snaps = []
+    real_save = torch.save
+
+    def capturing_save(obj, *a, **k):
+        if capture_epochs and isinstance(obj, dict):
+            snaps.append({k2: np.array(v2.detach().cpu().numpy(), copy=True)
+                          for k2, v2 in obj.items()})
+        return real_save(obj, *a, **k)
+
     ref_tm.DataLoader = patched_dl
+    torch.save = capturing_save
     try:
         train_loss, val_loss, test_loss, metrics = ref_tm.train(
             model, "parity_sync", args)
     finally:
         ref_tm.DataLoader = real_dl
+        torch.save = real_save
+    if capture_epochs:
+        assert len(snaps) == c["n_epochs"], (
+            f"expected one state_dict save per epoch, got {len(snaps)}")
+        np.savez(os.path.join(work, f"torch_{tag}_epochs.npz"),
+                 **{f"e{i}::{k}": v for i, sd in enumerate(snaps)
+                    for k, v in sd.items()})
     return {
         "train_per_epoch": [float(x) for x in train_loss],
         "val_per_epoch": [float(x) for x in val_loss],
@@ -481,7 +516,7 @@ def _load_init(kind):
     data = np.load(OUT_INIT)
     sd = {k[len(kind) + 2:]: data[k] for k in data.files
           if k.startswith(kind + "::")}
-    if kind in ("h36m", "h36m_sync"):
+    if kind in ("h36m", "h36m_sync", "h36m_sync_drift", "h36m_sync_lowlr"):
         return convert_conv_mixer(sd, num_blocks=H36M_CFG["num_blocks"])
     if kind == "ar":
         return convert_conv_mixer(sd, num_blocks=AR_CFG["num_blocks"])
@@ -526,23 +561,30 @@ def jax_h36m(data_dir, work, platform=None, init_variables=None):
     }
 
 
-def jax_h36m_sync(data_dir, work, platform=None, init_variables=None):
-    """JAX twin of torch_h36m_sync: dropout off, identical batch stream."""
+def jax_h36m_sync(data_dir, work, platform=None, init_variables=None,
+                  c=None, tag="h36m_sync", torch_epochs=None):
+    """JAX twin of torch_h36m_sync: dropout off, identical batch stream.
+
+    ``torch_epochs``: path to the torch side's per-epoch state_dict archive
+    (torch_h36m_sync(capture_epochs=True)). When given, an epoch callback
+    loads the epoch's own checkpoint and records the parameter L2 distance
+    to the torch twin at the same epoch — the drift curve that demonstrates
+    (not asserts) the accumulated-round-off story (VERDICT r3 item 4)."""
+    import jax
+
     sys.path.insert(0, REPO)
     if platform:
-        import jax
-
         jax.config.update("jax_platforms", platform)
     from motionmixerconv_tpu.cli.train_mixer_h36m import parse_args
     from motionmixerconv_tpu.cli._runner import run_h36m
     from motionmixerconv_tpu.data.h36m import H36MDataset
 
-    c = H36M_SYNC_CFG
+    c = c or H36M_SYNC_CFG
     n_train = len(H36MDataset(data_dir, c["input_n"], c["output_n"],
                               c["skip_rate"], split=0, mode="xyz"))
     argv = [
         "--data_dir", data_dir,
-        "--save_path", os.path.join(work, "jax_h36m_sync"),
+        "--save_path", os.path.join(work, f"jax_{tag}"),
         "--loss_type", "mpjpe", "--n_epochs", str(c["n_epochs"]),
         "--batch_size", str(c["batch_size"]),
         "--batch_size_test", str(c["batch_size_test"]),
@@ -554,12 +596,45 @@ def jax_h36m_sync(data_dir, work, platform=None, init_variables=None):
         "--regularization", str(c["regularization"]), "--r_se", str(c["r_se"]),
         "--actions_to_consider", c["actions"],
     ]
+
+    drift_l2, drift_rel = [], []
+    epoch_callback = None
+    if torch_epochs is not None:
+        from motionmixerconv_tpu.models import convert_conv_mixer
+        from motionmixerconv_tpu.train.state import load_variables
+
+        def _flat(params):
+            return np.concatenate(
+                [np.ravel(np.asarray(x))
+                 for x in jax.tree_util.tree_leaves(params)]
+            ).astype(np.float64)
+
+        data = np.load(os.path.join(work, torch_epochs))
+        torch_flat = []
+        for e in range(c["n_epochs"]):
+            sd = {k.split("::", 1)[1]: data[k] for k in data.files
+                  if k.startswith(f"e{e}::")}
+            tv = convert_conv_mixer(sd, num_blocks=c["num_blocks"])
+            torch_flat.append(_flat(tv["params"]))
+        ckpt = os.path.join(work, f"jax_{tag}",
+                            f"h36_3d_{c['output_n']}frames_ckpt",
+                            "model.ckpt")
+
+        def epoch_callback(epoch, history):
+            v = load_variables(ckpt, init_variables)
+            ours = _flat(v["params"])
+            ref = torch_flat[epoch]
+            l2 = float(np.linalg.norm(ours - ref))
+            drift_l2.append(l2)
+            drift_rel.append(l2 / float(np.linalg.norm(ref)))
+
     t0 = time.time()
     history, _, _ = run_h36m(
         parse_args(argv), init_variables=init_variables,
         batch_order_fn=lambda ep: _sync_order(n_train, ep),
+        epoch_callback=epoch_callback,
     )
-    return {
+    out = {
         "train_per_epoch": [float(x) for x in history["train"]],
         "val_per_epoch": [float(x) for x in history["val"]],
         "test_per_epoch": [float(x) for x in history["metrics"]["mpjpe"]],
@@ -568,6 +643,10 @@ def jax_h36m_sync(data_dir, work, platform=None, init_variables=None):
         "test_auc_pck": float(history["metrics"]["auc_pck"][-1]),
         "wall_s": time.time() - t0,
     }
+    if torch_epochs is not None:
+        out["param_drift_l2"] = drift_l2
+        out["param_drift_rel"] = drift_rel
+    return out
 
 
 def jax_amass(data_dir, work, platform=None, init_variables=None):
@@ -765,7 +844,7 @@ def write_outputs(results):
             "larger end-of-run diff tracks the slowly accumulating parameter "
             "drift (2,040 Adam steps of f32 round-off), amplified on this "
             "barely-learnable synthetic corpus where both sides sit near the "
-            "predict-the-mean plateau.",
+            "predict-the-mean plateau — demonstrated per-epoch in §1b below.",
         ]
     md += [
         f"- amass torch: {epoch_row(t_a['train_per_epoch'], 3)}",
@@ -796,6 +875,47 @@ def write_outputs(results):
                 f"{' '.join(f'{v:.1f}' for v in t_s['train_per_epoch'])}",
                 f"- small-AR jax:   "
                 f"{' '.join(f'{v:.1f}' for v in j_s['train_per_epoch'])}",
+            ]
+    j_d = results.get("jax_h36m_sync_drift")
+    j_l = results.get("jax_h36m_sync_lowlr")
+    t_d = results.get("torch_h36m_sync_drift")
+    t_l = results.get("torch_h36m_sync_lowlr")
+    if j_d and j_d.get("param_drift_rel"):
+        dr = j_d["param_drift_rel"]
+        gaps = [abs(a - b) / max(abs(b), 1e-9)
+                for a, b in zip(j_d["test_per_epoch"], t_d["test_per_epoch"])]
+        md += [
+            "",
+            "## 1b. Lockstep drift curve (measured; shape asserted by "
+            "tests/test_parity_runs.py)",
+            "",
+            "Per-epoch RELATIVE parameter L2 distance ||θ_jax − θ_torch|| / "
+            "||θ_torch|| between the lockstep twins (identical init, batch "
+            "stream, schedule; dropout off), next to the per-epoch "
+            "test-metric relative gap. If the end-of-run metric gap were a "
+            "latent semantic mismatch (e.g. around the lr milestone at "
+            f"epoch {H36M_SYNC_CFG['milestones'][0]}) the distance would "
+            "jump there; accumulated per-step f32 round-off instead grows "
+            "smoothly and slows when the lr drops 10x:",
+            "",
+            "| epoch | rel param dist | rel test gap |",
+            "|---|---|---|",
+        ]
+        for e in range(len(dr)):
+            md.append(f"| {e} | {dr[e]:.2e} | {gaps[e]:.2e} |")
+        if j_l and j_l.get("param_drift_rel"):
+            dl = j_l["param_drift_rel"]
+            md += [
+                "",
+                f"Low-lr control (lr={H36M_SYNC_LOWLR_CFG['lr']:g}, same "
+                "protocol/steps): final rel param dist "
+                f"{dl[-1]:.2e} vs {dr[-1]:.2e} at lr="
+                f"{H36M_SYNC_CFG['lr']:g} — the drift scales with the Adam "
+                "step size, as the round-off story requires "
+                f"({dr[-1] / max(dl[-1], 1e-12):.0f}x larger at 10x lr).",
+                "",
+                "Low-lr drift curve: "
+                + " ".join(f"{v:.1e}" for v in dl),
             ]
     md += [
         "",
@@ -839,7 +959,9 @@ def main():
     os.makedirs(args.work, exist_ok=True)
     for sub in ("torch_h36m", "jax_h36m", "torch_h36m_sync", "jax_h36m_sync",
                 "jax_amass", "torch_ar", "jax_ar",
-                "torch_ar_small", "jax_ar_small"):
+                "torch_ar_small", "jax_ar_small",
+                "torch_h36m_sync_drift", "jax_h36m_sync_drift",
+                "torch_h36m_sync_lowlr", "jax_h36m_sync_lowlr"):
         shutil.rmtree(os.path.join(args.work, sub), ignore_errors=True)
     h36m_dir, amass_dir = make_corpora(args.work)
 
@@ -874,6 +996,34 @@ def main():
         init_arrays.update(sd)
         np.savez(OUT_INIT, **init_arrays)
         save()
+    drift_arrays = dict(np.load(OUT_DRIFT)) if os.path.exists(OUT_DRIFT) else {}
+
+    def _commit_final_params(tag):
+        data = np.load(os.path.join(args.work, f"torch_{tag}_epochs.npz"))
+        last = max(int(k.split("::", 1)[0][1:]) for k in data.files)
+        drift_arrays.update({
+            f"{tag}::{k.split('::', 1)[1]}": data[k]
+            for k in data.files if k.startswith(f"e{last}::")
+        })
+        np.savez(OUT_DRIFT, **drift_arrays)
+
+    if "torch_h36m_sync_drift" not in results:
+        print("=== torch h36m lockstep drift (per-epoch params captured) ===")
+        results["torch_h36m_sync_drift"], sd = torch_h36m_sync(
+            h36m_dir, args.work, tag="h36m_sync_drift", capture_epochs=True)
+        init_arrays.update(sd)
+        np.savez(OUT_INIT, **init_arrays)
+        _commit_final_params("h36m_sync_drift")
+        save()
+    if "torch_h36m_sync_lowlr" not in results:
+        print("=== torch h36m lockstep LOW-LR (lr/10 drift control) ===")
+        results["torch_h36m_sync_lowlr"], sd = torch_h36m_sync(
+            h36m_dir, args.work, c=H36M_SYNC_LOWLR_CFG, tag="h36m_sync_lowlr",
+            capture_epochs=True)
+        init_arrays.update(sd)
+        np.savez(OUT_INIT, **init_arrays)
+        _commit_final_params("h36m_sync_lowlr")
+        save()
     if "torch_amass" not in results:
         print("=== torch amass (matched-init source) ===")
         results["torch_amass"], sd = torch_amass(amass_dir, args.work)
@@ -907,6 +1057,22 @@ def main():
         results["jax_h36m_sync"] = jax_h36m_sync(
             h36m_dir, args.work, args.jax_platform,
             init_variables=_load_init("h36m_sync"))
+        save()
+    if "jax_h36m_sync_drift" not in results:
+        print("=== jax h36m lockstep drift (param-distance curve) ===")
+        results["jax_h36m_sync_drift"] = jax_h36m_sync(
+            h36m_dir, args.work, args.jax_platform,
+            init_variables=_load_init("h36m_sync_drift"),
+            tag="h36m_sync_drift",
+            torch_epochs="torch_h36m_sync_drift_epochs.npz")
+        save()
+    if "jax_h36m_sync_lowlr" not in results:
+        print("=== jax h36m lockstep LOW-LR (drift control) ===")
+        results["jax_h36m_sync_lowlr"] = jax_h36m_sync(
+            h36m_dir, args.work, args.jax_platform,
+            init_variables=_load_init("h36m_sync_lowlr"),
+            c=H36M_SYNC_LOWLR_CFG, tag="h36m_sync_lowlr",
+            torch_epochs="torch_h36m_sync_lowlr_epochs.npz")
         save()
     if "jax_amass" not in results:
         print("=== jax amass (torch init imported) ===")
