@@ -299,7 +299,8 @@ def _train_and_evaluate(
         logger.add_scalar(f"metrics/{metric_names[0]}", m1_avg, epoch)
         logger.add_scalar(f"metrics/{metric_names[1]}", m2_avg, epoch)
 
-        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch)
+        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch,
+                        meta=vars(args))
         tf_note = f"tf={epoch < teacher_forcing_epochs} " if autoreg else ""
         print(
             f"epoch {epoch}: {tf_note}train {train_loss:.4f} val {val_loss:.4f} "
@@ -461,7 +462,7 @@ def _train_and_evaluate_fused(
 
     def save_chunk(chunk_state, last_epoch):
         save_checkpoint(os.path.join(log_dir, "model.ckpt"), chunk_state,
-                        last_epoch)
+                        last_epoch, meta=vars(args))
 
     state = _run_fused_chunks(
         args, trainer, state, epd,
@@ -812,9 +813,10 @@ def run_amass(args, model=None, model_name: Optional[str] = None,
 
         def save_chunk(chunk_state, last_epoch):
             save_checkpoint(os.path.join(log_dir, "model.ckpt"), chunk_state,
-                            last_epoch)
+                            last_epoch, meta=vars(args))
             if getattr(args, "model_path", None):
-                save_checkpoint(args.model_path, chunk_state, last_epoch)
+                save_checkpoint(args.model_path, chunk_state, last_epoch,
+                                meta=vars(args))
 
         state = _run_fused_chunks(
             args, trainer, state, epd,
@@ -845,9 +847,10 @@ def run_amass(args, model=None, model_name: Optional[str] = None,
         logger.add_scalar("loss/train", train_loss, epoch)
         logger.add_scalar("loss/val", val_loss, epoch)
         logger.add_scalar("loss/test", test_loss, epoch)
-        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch)
+        save_checkpoint(os.path.join(log_dir, "model.ckpt"), state, epoch,
+                        meta=vars(args))
         if getattr(args, "model_path", None):
-            save_checkpoint(args.model_path, state, epoch)
+            save_checkpoint(args.model_path, state, epoch, meta=vars(args))
         print(
             f"epoch {epoch}: train {train_loss:.3f} val {val_loss:.3f} "
             f"test {test_loss:.3f}mm ({time.time() - t0:.1f}s)"

@@ -31,12 +31,17 @@ class TrainState(struct.PyTreeNode):
         return v
 
 
-def save_checkpoint(path: str, state: TrainState, epoch: int) -> None:
+def save_checkpoint(path: str, state: TrainState, epoch: int,
+                    meta: dict | None = None) -> None:
     """Serialize the full train state (msgpack for arrays + meta pickle).
 
     The model variables ({params, batch_stats}) are additionally stored as a
     separate msgpack blob so evaluation-only consumers can load weights
     without reconstructing the optimizer (see ``load_variables``).
+
+    ``meta`` (typically ``vars(args)`` of the training CLI) is stored
+    alongside so post-hoc consumers (viz.galleries, mmc-test-*) can rebuild
+    the exact model architecture instead of guessing CLI defaults.
     """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     host_state = jax.device_get(state)
@@ -47,6 +52,8 @@ def save_checkpoint(path: str, state: TrainState, epoch: int) -> None:
         ),
         "epoch": epoch,
     }
+    if meta is not None:
+        payload["meta"] = dict(meta)
     with open(path, "wb") as f:
         pickle.dump(payload, f)
 
@@ -57,6 +64,15 @@ def restore_checkpoint(path: str, template: TrainState) -> tuple[TrainState, int
         payload = pickle.load(f)
     state = serialization.from_bytes(template, payload["state"])
     return state, int(payload["epoch"])
+
+
+def load_checkpoint_meta(path: str) -> dict | None:
+    """The training-args dict stored by ``save_checkpoint`` (None if the
+    checkpoint predates meta support or is a converted reference .pt)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    meta = payload.get("meta")
+    return dict(meta) if meta is not None else None
 
 
 def load_variables(path: str, template_variables: dict) -> dict:

@@ -118,7 +118,7 @@ def pose_animation(gt_seq: np.ndarray, pred_seq: np.ndarray, fps: int = 10,
 
 def predict_windows(checkpoint: str, data_dir: str, action: str,
                     visualize_from: str = "test", n_viz: int = 2,
-                    args_override=None):
+                    args_override=None, overrides=None):
     """Load a ConvMixer checkpoint and return full-skeleton (gt, pred)
     sequences for ``n_viz`` windows of ``action`` — equal-joint
     re-insertion included (test_mpjpe parity, train_mixer_h36m.py:368-378).
@@ -135,10 +135,20 @@ def predict_windows(checkpoint: str, data_dir: str, action: str,
     )
     from ..data.h36m import H36MDataset
     from ..data.windows import gather_windows
-    from ..train import Trainer, make_optimizer, restore_checkpoint
+    from ..train import (Trainer, load_checkpoint_meta, make_optimizer,
+                         restore_checkpoint)
 
     args = args_override or parse_args(
         ["--data_dir", data_dir, "--loss_type", "mpjpe"])
+    if args_override is None:
+        # the checkpoint's stored training args beat CLI defaults;
+        # explicit viewer flags (``overrides``) beat both.
+        meta = load_checkpoint_meta(checkpoint)
+        if meta:
+            args.__dict__.update({k: v for k, v in meta.items()
+                                  if k not in ("data_dir", "save_path")})
+        if overrides:
+            args.__dict__.update(overrides)
     split = {"train": 0, "validation": 1, "viz": 1, "test": 2}[visualize_from]
     ds = H36MDataset(data_dir, args.input_n, args.output_n, args.skip_rate,
                      actions=[action], split=split, mode="xyz")
@@ -182,20 +192,16 @@ def main(argv=None):
                     help="open the interactive window (needs a display)")
     ap.add_argument("--num_blocks", type=int)
     ap.add_argument("--hidden_dim", type=int)
-    ap.add_argument("--skip_rate", type=int, default=1)
+    ap.add_argument("--skip_rate", type=int)
     args = ap.parse_args(argv)
 
-    from ..cli.train_mixer_h36m import parse_args as train_parse
-
-    ov = ["--data_dir", args.data_dir, "--loss_type", "mpjpe",
-          "--skip_rate", str(args.skip_rate)]
-    if args.num_blocks:
-        ov += ["--num_blocks", str(args.num_blocks)]
-    if args.hidden_dim:
-        ov += ["--hidden_dim", str(args.hidden_dim)]
+    # model architecture resolves from the checkpoint's stored training args;
+    # these flags override it (and cover pre-meta checkpoints).
+    ov = {k: getattr(args, k) for k in ("num_blocks", "hidden_dim", "skip_rate")
+          if getattr(args, k) is not None}
     gts, preds = predict_windows(
         args.checkpoint, args.data_dir, args.action, args.visualize_from,
-        args.n_viz, args_override=train_parse(ov))
+        args.n_viz, overrides=ov)
 
     import matplotlib
 
