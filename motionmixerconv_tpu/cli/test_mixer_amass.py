@@ -22,7 +22,17 @@ from ..train import Trainer, make_optimizer
 from ._runner import AMASS_DIM_USED, build_mlp_mixer, make_amass_test_fn
 
 
-def parse_args(argv=None):
+# auto-filled from a .ckpt's stored training args; explicit flags win
+# (matches cli/test_mixer_h36m.py — the reference makes the user re-type
+# the architecture and silently mis-evaluates on a mismatch).
+ARCH_META_KEYS = (
+    "input_n", "output_n", "skip_rate", "activation", "r_se", "hidden_dim",
+    "num_blocks", "tokens_mlp_dim", "channels_mlp_dim", "regularization",
+    "pose_dim",
+)
+
+
+def parse_args(argv=None, meta=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_dir", type=str, default="../data_amass/")
     parser.add_argument("--model_path", type=str, required=True)
@@ -38,11 +48,20 @@ def parse_args(argv=None):
     parser.add_argument("--channels_mlp_dim", default=128, type=int)
     parser.add_argument("--regularization", default=0.1, type=float)
     parser.add_argument("--pose_dim", default=54, type=int)
+    if meta:
+        parser.set_defaults(**{k: meta[k] for k in ARCH_META_KEYS
+                               if k in meta})
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.model_path.endswith(".ckpt"):
+        from ..train.state import load_checkpoint_meta
+
+        meta = load_checkpoint_meta(args.model_path)
+        if meta:
+            args = parse_args(argv, meta=meta)
     model = build_mlp_mixer(args, args.pose_dim, args.input_n, args.output_n)
 
     if args.model_path.endswith((".pt", ".pth")):

@@ -36,7 +36,8 @@ EVAL_FRAMES = [1, 3, 7, 9, 13, 17, 21, 24]  # test_mixer_h36m.py:20
 IDX_EVAL = 7
 
 
-def load_model_variables(model, path: str, num_blocks: int):
+def load_model_variables(model, path: str, num_blocks: int,
+                         input_n: int = 10, pose_dim: int = 66):
     """Load a checkpoint: .pt (torch state_dict) or .ckpt (this framework)."""
     if path.endswith(".pt") or path.endswith(".pth"):
         sd = load_torch_state_dict(path)
@@ -44,7 +45,8 @@ def load_model_variables(model, path: str, num_blocks: int):
     from ..train.state import load_variables
 
     template = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 10, 66)), training=False
+        jax.random.PRNGKey(0), jnp.zeros((1, input_n, pose_dim)),
+        training=False
     )
     return load_variables(path, template)
 
@@ -53,7 +55,11 @@ def test_pretrained(model, variables, args):
     dim_used = H36M_DIM_USED_XYZ
     ignore = jnp.asarray(H36M_INDEX_TO_IGNORE_EVAL)
     equal = jnp.asarray(H36M_INDEX_TO_EQUAL_EVAL)
-    eval_frames = jnp.asarray(EVAL_FRAMES)
+    # the reference hardcodes output_n=25 (all 8 horizons); for shorter
+    # checkpoints keep the horizons that exist and headline the last one
+    frames_avail = [f for f in EVAL_FRAMES if f < args.output_n]
+    idx_eval = len(frames_avail) - 1
+    eval_frames = jnp.asarray(frames_avail)
 
     @jax.jit
     def step(frames, starts, w):
@@ -94,7 +100,7 @@ def test_pretrained(model, variables, args):
     actions = define_actions(args.actions_to_consider)
     accum32, n_total = 0.0, 0.0
     t3d_all = []
-    t3d = np.zeros(len(EVAL_FRAMES))
+    t3d = np.zeros(len(frames_avail))
     n_horizon = 0.0
     for action in actions:
         ds = H36MDataset(args.data_dir, args.input_n, args.output_n,
@@ -110,7 +116,7 @@ def test_pretrained(model, variables, args):
         accum32 += a32
         n_total += an
         print(f"loss at test subject for action : {action} is: {a32 / an:.3f}")
-        t3d_all.append(t3d[IDX_EVAL] / n_horizon)
+        t3d_all.append(t3d[idx_eval] / n_horizon)
 
     print(f"overall average loss in mm is: {accum32 / n_total:.4f}")
     final = float(np.mean(t3d_all))
@@ -118,7 +124,21 @@ def test_pretrained(model, variables, args):
     return accum32 / n_total, final
 
 
-def parse_args(argv=None):
+# architecture/eval-semantics keys auto-filled from a .ckpt's stored
+# training args (save_checkpoint meta); explicit CLI flags still win, and
+# keys with no flag here (the conv-model ones) ride along for
+# build_conv_mixer's getattr defaults.
+ARCH_META_KEYS = (
+    "input_n", "output_n", "skip_rate", "pose_dim", "activation",
+    "hidden_dim", "num_blocks", "tokens_mlp_dim", "channels_mlp_dim",
+    "regularization", "r_se", "delta_x", "model_type", "loss_type",
+    "conv_nChan", "conv1_kernel_shape", "mode_conv",
+    "encoder_n_harmonic_functions", "encoder_omega0", "fused_encoder",
+    "harmonic_impl",
+)
+
+
+def parse_args(argv=None, meta=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_dir", type=str, default="./data")
     parser.add_argument("--model_path", type=str, required=True,
@@ -138,13 +158,39 @@ def parse_args(argv=None):
     parser.add_argument("--channels_mlp_dim", default=50, type=int)
     parser.add_argument("--regularization", default=0.1, type=float)
     parser.add_argument("--r_se", default=8, type=int)
+    if meta:
+        parser.set_defaults(**{k: meta[k] for k in ARCH_META_KEYS
+                               if k in meta})
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    model = build_mlp_mixer(args, args.pose_dim, args.input_n, args.output_n)
-    variables = load_model_variables(model, args.model_path, args.num_blocks)
+    meta = None
+    if args.model_path.endswith(".ckpt"):
+        from ..train.state import load_checkpoint_meta
+
+        meta = load_checkpoint_meta(args.model_path)
+    if meta:
+        # re-parse with the checkpoint's training args as defaults —
+        # the reference makes the user re-type the architecture flags
+        # (test_mixer_h36m.py:24-50) and silently mis-evaluates on a
+        # mismatch; here a bare --model_path evaluates the trained config.
+        args = parse_args(argv, meta=meta)
+    if getattr(args, "loss_type", "mpjpe") != "mpjpe":
+        raise ValueError(
+            "this CLI evaluates xyz-space checkpoints; the given checkpoint "
+            f"was trained with --loss_type {args.loss_type}")
+    if getattr(args, "model_type", "mlp") == "conv":
+        from ._runner import build_conv_mixer
+
+        model = build_conv_mixer(args, args.pose_dim, args.pose_dim,
+                                 args.input_n, args.output_n)
+    else:
+        model = build_mlp_mixer(args, args.pose_dim, args.input_n,
+                                args.output_n)
+    variables = load_model_variables(model, args.model_path, args.num_blocks,
+                                     args.input_n, args.pose_dim)
     return test_pretrained(model, variables, args)
 
 

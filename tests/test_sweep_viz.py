@@ -169,6 +169,55 @@ class TestPretrainedEval:
         avg, final = tm.test_pretrained(model, variables, args)
         assert np.isfinite(avg) and np.isfinite(final)
 
+    def test_eval_autofills_arch_from_ckpt_meta(self, tmp_path):
+        """A bare --model_path evaluates a non-default trained config: the
+        architecture resolves from the checkpoint's stored training args
+        (save_checkpoint meta), and an explicit flag still wins."""
+        import jax
+
+        from motionmixerconv_tpu.cli import test_mixer_h36m as tm
+        from motionmixerconv_tpu.cli._runner import build_conv_mixer
+        from motionmixerconv_tpu.cli.train_mixer_h36m import (
+            parse_args as train_parse,
+        )
+        from motionmixerconv_tpu.data import fixtures
+        from motionmixerconv_tpu.data.constants import H36M_DIM_USED_XYZ
+        from motionmixerconv_tpu.train import make_optimizer, save_checkpoint
+        from motionmixerconv_tpu.train.loop import Trainer
+
+        fixtures.make_h36m_corpus(
+            str(tmp_path / "data"), actions=["walking"], n_frames=400, seed=3
+        )
+        # non-default conv config: CLI defaults (num_blocks 4 / hidden 50 /
+        # output_n 25 / mlp eval model) would all mismatch this checkpoint
+        targs = train_parse([
+            "--data_dir", str(tmp_path / "data"), "--save_path", str(tmp_path),
+            "--loss_type", "mpjpe", "--output_n", "10", "--skip_rate", "5",
+            "--num_blocks", "2", "--hidden_dim", "30",
+        ])
+        model = build_conv_mixer(targs, 66, 66, 10, 10)
+        trainer = Trainer(
+            model, make_optimizer(lr=1e-3, steps_per_epoch=1),
+            loss_type="mpjpe", dim_used=H36M_DIM_USED_XYZ,
+            input_n=10, output_n=10, input_scale=1e-3,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        ckpt = str(tmp_path / "model.ckpt")
+        save_checkpoint(ckpt, state, epoch=0, meta=vars(targs))
+
+        avg, final = tm.main([
+            "--data_dir", str(tmp_path / "data"), "--model_path", ckpt,
+            "--actions_to_consider", "walking",
+        ])
+        assert np.isfinite(avg) and np.isfinite(final)
+
+        # explicit flag beats meta: a wrong --num_blocks must fail to load
+        with pytest.raises(Exception):
+            tm.main([
+                "--data_dir", str(tmp_path / "data"), "--model_path", ckpt,
+                "--actions_to_consider", "walking", "--num_blocks", "3",
+            ])
+
 
 def test_grid_resume_covers_full_grid(tmp_path):
     """Resumed grid studies must decode against the FULL persisted space —
