@@ -58,6 +58,11 @@ def test_pretrained(model, variables, args):
     # the reference hardcodes output_n=25 (all 8 horizons); for shorter
     # checkpoints keep the horizons that exist and headline the last one
     frames_avail = [f for f in EVAL_FRAMES if f < args.output_n]
+    if not frames_avail:
+        raise ValueError(
+            f"output_n={args.output_n} leaves no eval horizon (the shortest "
+            f"is frame {EVAL_FRAMES[0] + 1}); this checkpoint predicts too "
+            "few frames for the per-horizon evaluation")
     idx_eval = len(frames_avail) - 1
     eval_frames = jnp.asarray(frames_avail)
 

@@ -49,13 +49,19 @@ _BYTES_CEILING_SLACK = 1.05
 def peak_flops_for(device_kind: str, dtype) -> float | None:
     """Peak FLOP/s for ``device_kind`` at the given compute dtype.
 
-    bf16 (and narrower) uses the full MXU rate; float32 (and wider) is
-    bounded by the multi-pass rate (bf16/2).
+    bf16 (and narrower) uses the full MXU rate; float32 is bounded by the
+    multi-pass rate (bf16/2). Wider dtypes (f64 is software-emulated on
+    TPU, far below bf16/2) have no table — refusing beats rubber-stamping
+    an inflated measurement against the wrong tier's ceiling.
     """
     try:
         itemsize = np.dtype(dtype).itemsize
     except TypeError:  # "bfloat16" before ml_dtypes registers it with numpy
         itemsize = 2 if "16" in str(dtype) else 4
+    if itemsize > 4:
+        raise ValueError(
+            f"no peak-FLOP/s ceiling for dtype {dtype!r} on {device_kind} "
+            "(f64 is emulated on TPU); measure in f32/bf16 or add a bound")
     table = PEAK_FLOPS if itemsize <= 2 else PEAK_FLOPS_F32
     return table.get(device_kind)
 

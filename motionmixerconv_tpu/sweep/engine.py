@@ -166,12 +166,13 @@ class FrozenTrial:
 class MedianPruner:
     """optuna.pruners.MedianPruner semantics: prune when the trial's RUNNING
     BEST intermediate value up to step s is worse than the median of COMPLETE
-    trials' running-best values up to that same step (optuna compares
-    running bests on both sides, so non-monotone learning curves are judged
-    by their best point, not their latest). ``n_startup_trials`` completed
-    trials are required before any pruning; steps below ``n_warmup_steps``
-    never prune; only every ``interval_steps``-th step past warmup is
-    checked; a NaN report always prunes.
+    trials' values AT exactly step s. The asymmetry is optuna's
+    (PercentilePruner: `_get_best_intermediate_result_over_steps` for the
+    current trial, `t.intermediate_values[step]` for peers — peers with no
+    report at step s are excluded). ``n_startup_trials`` completed trials
+    are required before any pruning; steps below ``n_warmup_steps`` never
+    prune; only every ``interval_steps``-th step past warmup is checked; a
+    NaN report always prunes.
     """
 
     def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0,
@@ -209,8 +210,9 @@ class MedianPruner:
         if value is None:
             return False
         peers = sorted(
-            b for t in done
-            if (b := running_best(t.intermediate_values)) is not None
+            t.intermediate_values[step] for t in done
+            if step in t.intermediate_values
+            and not math.isnan(t.intermediate_values[step])
         )
         if not peers:
             return False

@@ -58,10 +58,29 @@ def save_checkpoint(path: str, state: TrainState, epoch: int,
         pickle.dump(payload, f)
 
 
-def restore_checkpoint(path: str, template: TrainState) -> tuple[TrainState, int]:
-    """Restore into a template state (built with the same model/optimizer)."""
+_payload_cache: tuple | None = None  # ((abspath, mtime_ns, size), payload)
+
+
+def _read_payload(path: str) -> dict:
+    """One-entry read cache: meta-aware consumers (eval CLIs, galleries,
+    live viewer) read the meta and then the variables of the SAME file —
+    without this, every eval invocation unpickles the full multi-MB
+    checkpoint twice. Keyed on (path, mtime, size) so a rewritten
+    checkpoint is never served stale."""
+    global _payload_cache
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    if _payload_cache is not None and _payload_cache[0] == key:
+        return _payload_cache[1]
     with open(path, "rb") as f:
         payload = pickle.load(f)
+    _payload_cache = (key, payload)
+    return payload
+
+
+def restore_checkpoint(path: str, template: TrainState) -> tuple[TrainState, int]:
+    """Restore into a template state (built with the same model/optimizer)."""
+    payload = _read_payload(path)
     state = serialization.from_bytes(template, payload["state"])
     return state, int(payload["epoch"])
 
@@ -69,9 +88,7 @@ def restore_checkpoint(path: str, template: TrainState) -> tuple[TrainState, int
 def load_checkpoint_meta(path: str) -> dict | None:
     """The training-args dict stored by ``save_checkpoint`` (None if the
     checkpoint predates meta support or is a converted reference .pt)."""
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
-    meta = payload.get("meta")
+    meta = _read_payload(path).get("meta")
     return dict(meta) if meta is not None else None
 
 
@@ -82,8 +99,7 @@ def load_variables(path: str, template_variables: dict) -> dict:
     pytree structure; returns {'params': ..., 'batch_stats': ...} with
     batch_stats omitted when empty.
     """
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
+    payload = _read_payload(path)
     template = {
         "params": template_variables["params"],
         "batch_stats": template_variables.get("batch_stats", {}),

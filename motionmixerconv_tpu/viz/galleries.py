@@ -34,37 +34,26 @@ def h36m_galleries(checkpoint: str, data_dir: str, out_dir: str,
 
     from ..cli._runner import (build_conv_mixer, build_mlp_mixer,
                                export_h36m_visualizations)
-    from ..cli.train_mixer_h36m import parse_args
     from ..data.constants import H36M_DIM_USED_XYZ, define_actions
     from ..data.h36m import H36MDataset
-    from ..train import (Trainer, load_checkpoint_meta, make_optimizer,
-                         restore_checkpoint)
+    from ..train import Trainer, make_optimizer, restore_checkpoint
+    from ._meta import resolve_h36m_eval_args
 
     os.makedirs(out_dir, exist_ok=True)
-    args = args_override or parse_args([
-        "--data_dir", data_dir, "--save_path", out_dir, "--loss_type", "mpjpe",
-    ])
-    if args_override is None:
+    if args_override is not None:
+        args = args_override
+        dim = len(H36M_DIM_USED_XYZ)
+        if getattr(args, "model_type", "conv") == "mlp":
+            model = build_mlp_mixer(args, dim, args.input_n, args.output_n)
+        else:
+            model = build_conv_mixer(args, dim, dim, args.input_n,
+                                     args.output_n)
+    else:
         # rebuild the EXACT trained architecture from the checkpoint's stored
         # training args (save_checkpoint meta) instead of CLI defaults — a
         # non-default --output_n/--hidden_dim/... checkpoint renders
         # correctly without the caller re-specifying its flags.
-        meta = load_checkpoint_meta(checkpoint)
-        if meta:
-            args.__dict__.update({k: v for k, v in meta.items()
-                                  if k not in ("data_dir", "save_path")})
-    if args.loss_type != "mpjpe":
-        raise ValueError(
-            "galleries render xyz skeletons; this checkpoint was trained "
-            f"with --loss_type {args.loss_type} (48-dim angle model)")
-
-    if getattr(args, "model_type", "conv") == "mlp":
-        model = build_mlp_mixer(args, len(H36M_DIM_USED_XYZ), args.input_n,
-                                args.output_n)
-    else:
-        model = build_conv_mixer(args, len(H36M_DIM_USED_XYZ),
-                                 len(H36M_DIM_USED_XYZ), args.input_n,
-                                 args.output_n)
+        args, model = resolve_h36m_eval_args(checkpoint, data_dir, out_dir)
     opt = make_optimizer(lr=args.lr, steps_per_epoch=10)
     trainer = Trainer(
         model, opt, loss_type="mpjpe", dim_used=H36M_DIM_USED_XYZ,

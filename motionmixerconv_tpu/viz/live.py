@@ -127,7 +127,6 @@ def predict_windows(checkpoint: str, data_dir: str, action: str,
     import jax.numpy as jnp
 
     from ..cli._runner import build_conv_mixer
-    from ..cli.train_mixer_h36m import parse_args
     from ..data.constants import (
         H36M_DIM_USED_XYZ,
         H36M_INDEX_TO_EQUAL_EVAL,
@@ -135,30 +134,29 @@ def predict_windows(checkpoint: str, data_dir: str, action: str,
     )
     from ..data.h36m import H36MDataset
     from ..data.windows import gather_windows
-    from ..train import (Trainer, load_checkpoint_meta, make_optimizer,
-                         restore_checkpoint)
+    from ..metrics.metrics import delta_2_gt
+    from ..train import Trainer, make_optimizer, restore_checkpoint
+    from ._meta import resolve_h36m_eval_args
 
-    args = args_override or parse_args(
-        ["--data_dir", data_dir, "--loss_type", "mpjpe"])
-    if args_override is None:
+    if args_override is not None:
+        args = args_override
+        model = build_conv_mixer(args, len(H36M_DIM_USED_XYZ),
+                                 len(H36M_DIM_USED_XYZ), args.input_n,
+                                 args.output_n)
+    else:
         # the checkpoint's stored training args beat CLI defaults;
         # explicit viewer flags (``overrides``) beat both.
-        meta = load_checkpoint_meta(checkpoint)
-        if meta:
-            args.__dict__.update({k: v for k, v in meta.items()
-                                  if k not in ("data_dir", "save_path")})
-        if overrides:
-            args.__dict__.update(overrides)
-    split = {"train": 0, "validation": 1, "viz": 1, "test": 2}[visualize_from]
+        args, model = resolve_h36m_eval_args(
+            checkpoint, data_dir, os.path.dirname(checkpoint) or ".",
+            overrides=overrides)
+    split = {"train": 0, "validation": 1, "test": 2}[visualize_from]
     ds = H36MDataset(data_dir, args.input_n, args.output_n, args.skip_rate,
                      actions=[action], split=split, mode="xyz")
-    model = build_conv_mixer(args, len(H36M_DIM_USED_XYZ),
-                             len(H36M_DIM_USED_XYZ), args.input_n,
-                             args.output_n)
     trainer = Trainer(
         model, make_optimizer(lr=args.lr, steps_per_epoch=10),
         loss_type="mpjpe", dim_used=H36M_DIM_USED_XYZ,
         input_n=args.input_n, output_n=args.output_n, input_scale=1e-3,
+        delta_x=getattr(args, "delta_x", False),
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     state, _ = restore_checkpoint(checkpoint, state)
@@ -166,9 +164,13 @@ def predict_windows(checkpoint: str, data_dir: str, action: str,
     frames = jnp.asarray(ds.frames)
     starts = jnp.asarray(ds.window_starts[:n_viz].astype(np.int32))
     batch = gather_windows(frames, starts, args.input_n + args.output_n)
-    model_in, _, _ = trainer._prepare(batch)
-    pred = np.asarray(model.apply(state.variables(), model_in,
-                                  training=False))
+    model_in, _, last = trainer._prepare(batch)
+    pred = model.apply(state.variables(), model_in, training=False)
+    if trainer.delta_x:
+        # velocity-mode checkpoints predict frame deltas; decode to absolute
+        # positions off the last observed frame (train_mixer_h36m.py:357-360)
+        pred = delta_2_gt(pred, last)
+    pred = np.asarray(pred)
     full_gt = np.array(batch[:, args.input_n:])  # copy: mutated below
     full_pred = np.array(full_gt)
     full_pred[:, :, H36M_DIM_USED_XYZ] = pred

@@ -43,6 +43,49 @@ def test_pose_animation_rejects_bad_shapes():
         pose_animation(np.zeros((5, 31, 3)), np.zeros((5, 31, 3)))
 
 
+def test_predict_windows_decodes_delta_x(tmp_path):
+    """Velocity-mode checkpoints must decode through delta_2_gt: with all
+    weights zeroed the predicted deltas are zero, so the decoded prediction
+    is the (nonzero) last observed frame held constant — the undecoded bug
+    rendered the raw near-zero deltas as absolute positions."""
+    import jax
+    import numpy as np
+
+    from motionmixerconv_tpu.cli._runner import build_conv_mixer
+    from motionmixerconv_tpu.cli.train_mixer_h36m import parse_args
+    from motionmixerconv_tpu.data.constants import H36M_DIM_USED_XYZ
+    from motionmixerconv_tpu.train import make_optimizer, save_checkpoint
+    from motionmixerconv_tpu.train.loop import Trainer
+    from motionmixerconv_tpu.viz.live import predict_windows
+
+    data_dir = str(tmp_path / "data")
+    fixtures.make_h36m_corpus(data_dir, actions=["walking"], n_frames=400,
+                              seed=5)
+    targs = parse_args([
+        "--data_dir", data_dir, "--save_path", str(tmp_path),
+        "--loss_type", "mpjpe", "--delta_x", "1", "--output_n", "10",
+        "--skip_rate", "5", "--num_blocks", "1", "--hidden_dim", "16",
+    ])
+    model = build_conv_mixer(targs, 66, 66, 10, 10)
+    trainer = Trainer(
+        model, make_optimizer(lr=1e-3, steps_per_epoch=1),
+        loss_type="mpjpe", dim_used=H36M_DIM_USED_XYZ,
+        input_n=10, output_n=10, input_scale=1e-3, delta_x=True,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = state.replace(
+        params=jax.tree_util.tree_map(lambda p: p * 0.0, state.params))
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, state, epoch=0, meta=vars(targs))
+
+    _, pred = predict_windows(ckpt, data_dir, "walking", "test", n_viz=1)
+    used = np.asarray(pred).reshape(1, -1, 96)[:, :, H36M_DIM_USED_XYZ]
+    # constant across predicted frames (zero deltas) and anchored at the
+    # nonzero last observed pose — not collapsed near the origin
+    assert np.max(np.abs(used - used[:, :1])) < 1e-3
+    assert np.mean(np.abs(used)) > 10.0
+
+
 @pytest.mark.slow
 def test_live_viewer_end_to_end(tmp_path):
     """Train one tiny epoch through the real runner, then drive the viewer

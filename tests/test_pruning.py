@@ -97,15 +97,27 @@ class TestMedianPruner:
         study.optimize(_objective([2.0, 1.0, 3.0, 3.0, 3.0]), n_trials=1)
         assert [t.state for t in study.trials] == ["COMPLETE", "COMPLETE"]
 
-    def test_peer_running_best_counts(self):
-        """Peers are judged by their running best too: a peer that dipped
-        to 1.0 early sets the bar at 1.0 for later steps, even though its
-        same-step values regressed to 3.0."""
+    def test_peers_judged_at_exact_step(self):
+        """optuna's asymmetry (PercentilePruner): peers contribute their
+        value AT step s, not their running best — a peer that dipped to 1.0
+        early but regressed to 3.0 sets the step-1 bar at 3.0, so a steady
+        2.0 trial survives (running-best peers would kill it)."""
         study = Study("p8", sampler=RandomSampler(seed=0),
-                      pruner=MedianPruner(n_startup_trials=1))
+                      pruner=MedianPruner(n_startup_trials=1,
+                                          n_warmup_steps=1))
         study.optimize(_objective([1.0, 3.0, 3.0, 3.0, 3.0]), n_trials=1)
         study.optimize(_objective([2.0, 2.0, 2.0, 2.0, 2.0]), n_trials=1)
-        assert study.trials[1].state == "PRUNED"
+        assert study.trials[1].state == "COMPLETE"
+
+    def test_peers_without_report_at_step_are_excluded(self):
+        """A step where no completed peer reported cannot prune."""
+        study = Study("p9", sampler=RandomSampler(seed=0),
+                      pruner=MedianPruner(n_startup_trials=1))
+        study.optimize(_objective([1.0, 1.0]), n_trials=1)
+        # steps 2-4 have no peer reports; steps 0-1 compare 9.0 > 1.0 only
+        # after the trial has already been pruned at step 0
+        study.optimize(_objective([0.5, 0.5, 9.0, 9.0, 9.0]), n_trials=1)
+        assert study.trials[1].state == "COMPLETE"
 
     def test_no_pruner_never_prunes(self):
         study = Study("p6", sampler=RandomSampler(seed=0))

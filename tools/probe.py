@@ -55,6 +55,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -709,11 +710,26 @@ def cmd_serving(args):
     n_chain = args.chain
 
     def chained_ms(fn, x):
+        """Dependency-chained device latency: every dispatch's input depends
+        on the previous output, so executions serialize on-device and ONE
+        final sync amortizes the relay RTT. When out/in shapes differ
+        (out_nTP != in_nTP), the dependency is threaded inside one jitted
+        link as x + 1e-30*y[0] — N INDEPENDENT un-synced dispatches would
+        measure pipelined queueing, not execution (the invalid BENCH_r02
+        mode, CLAUDE.md)."""
         y = fn(x)
         jax.block_until_ready(y)
+        if y.shape == x.shape:
+            link = fn
+        else:
+            link = jax.jit(
+                lambda x0, yp: fn(x0 + 1e-30 * yp.ravel()[0]))
+            link = partial(link, x)
+            y = link(y)  # compile + warm the link form
+            jax.block_until_ready(y)
         t0 = time.perf_counter()
         for _ in range(n_chain):
-            y = fn(y) if y.shape == x.shape else fn(x)
+            y = link(y)
         jax.block_until_ready(y)
         return (time.perf_counter() - t0) / n_chain * 1e3
 
