@@ -100,6 +100,33 @@ def build_mlp_mixer(args, dim: int, in_ntp: int, out_ntp: int) -> MlpMixer:
     )
 
 
+def model_from_checkpoint_meta(meta: dict):
+    """(model, sample_shape) rebuilt from a checkpoint's stored training
+    args (``train.state.save_checkpoint`` meta) — works for every trainer
+    family: H36M direct/angle, autoregressive (``*_model`` window args),
+    AIS (``conv1_kernel_shape`` set by its CLI), AMASS (MlpMixer, no
+    ``model_type`` flag)."""
+    from types import SimpleNamespace
+
+    args = SimpleNamespace(**meta)
+    in_n = meta.get("input_n_model", meta.get("input_n", 10))
+    out_n = meta.get("output_n_model", meta.get("output_n", 25))
+    if meta.get("loss_type") == "angle" and "actions_to_consider" in meta:
+        dim = len(H36M_DIM_USED_ANGLE)  # H36M angle trainers use 48 dims
+    else:
+        dim = meta.get("pose_dim", 66)
+    model_type = meta.get("model_type")
+    if model_type is None:
+        # trainers without the flag: AIS builds ConvMixer (kernel flags),
+        # AMASS builds MlpMixer
+        model_type = "conv" if ("conv1_kernel_shape" in meta
+                                or "conv_nChan" in meta
+                                or "kernel1_x" in meta) else "mlp"
+    if model_type == "mlp":
+        return build_mlp_mixer(args, dim, in_n, out_n), (1, in_n, dim)
+    return build_conv_mixer(args, dim, dim, in_n, out_n), (1, in_n, dim)
+
+
 def _log_dir(args, model_name: str) -> str:
     log_dir = os.path.join(args.save_path, model_name)
     if (os.path.exists(log_dir) and os.listdir(log_dir)

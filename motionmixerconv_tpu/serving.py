@@ -118,7 +118,23 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, model, path: str, num_blocks: Optional[int] = None,
                         sample_shape=(1, 10, 66), **kw) -> "Predictor":
-        """Load from a native .ckpt or a reference torch .pt state_dict."""
+        """Load from a native .ckpt or a reference torch .pt state_dict.
+
+        ``model=None`` rebuilds the exact trained architecture from a native
+        checkpoint's stored training args (``save_checkpoint`` meta); torch
+        .pt files carry no architecture metadata and need the model passed.
+        """
+        if model is None:
+            from .cli._runner import model_from_checkpoint_meta
+            from .train.state import load_checkpoint_meta
+
+            meta = None if path.endswith((".pt", ".pth")) \
+                else load_checkpoint_meta(path)
+            if not meta:
+                raise ValueError(
+                    f"{path} carries no training-args meta (reference .pt "
+                    "or pre-meta checkpoint); pass the model explicitly")
+            model, sample_shape = model_from_checkpoint_meta(meta)
         if path.endswith((".pt", ".pth")):
             from .models import convert_conv_mixer, convert_mlp_mixer, load_torch_state_dict
             from .models.mixer_conv import ConvMixer

@@ -403,7 +403,10 @@ def main(argv: Optional[list] = None) -> None:
                                              "with dynamic micro-batching.")
     ap.add_argument("--model_path", required=True,
                     help=".ckpt (native) or .pt (reference torch state_dict)")
-    ap.add_argument("--arch", choices=["conv", "mlp"], default="conv")
+    ap.add_argument("--arch", choices=["auto", "conv", "mlp"], default="auto",
+                    help="auto rebuilds the architecture from the .ckpt's "
+                         "stored training args, falling back to the flags "
+                         "below (conv) for .pt / pre-meta checkpoints")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8476)
     ap.add_argument("--max_batch", type=int, default=128)
@@ -431,7 +434,21 @@ def main(argv: Optional[list] = None) -> None:
 
     from .serving import Predictor
 
-    if args.arch == "conv":
+    model = None
+    sample_shape = (1, args.input_n, args.pose_dim)
+    if args.arch == "auto":
+        from .train.state import load_checkpoint_meta
+
+        meta = (None if args.model_path.endswith((".pt", ".pth"))
+                else load_checkpoint_meta(args.model_path))
+        if meta:
+            from .cli._runner import model_from_checkpoint_meta
+
+            model, sample_shape = model_from_checkpoint_meta(meta)
+    arch = args.arch if args.arch != "auto" else "conv"
+    if model is not None:
+        pass
+    elif arch == "conv":
         from .models import ConvMixer
 
         model = ConvMixer(
@@ -456,8 +473,7 @@ def main(argv: Optional[list] = None) -> None:
             regularization=0.1, input_size=args.pose_dim, r_se=8, use_se=True,
         )
     predictor = Predictor.from_checkpoint(
-        model, args.model_path,
-        sample_shape=(1, args.input_n, args.pose_dim))
+        model, args.model_path, sample_shape=sample_shape)
     devices = None
     if args.replicas >= 1:
         visible = jax.devices()

@@ -70,3 +70,65 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         p.predict(x), model.apply(variables, x, training=False), atol=1e-6
     )
+
+
+def test_from_checkpoint_model_none_uses_meta(tmp_path):
+    """model=None rebuilds the trained architecture from checkpoint meta —
+    here an H36M conv config with non-default dims; a meta-less checkpoint
+    raises with a clear message."""
+    import pytest
+
+    from motionmixerconv_tpu.cli.train_mixer_h36m import parse_args
+    from motionmixerconv_tpu.cli._runner import build_conv_mixer
+    from motionmixerconv_tpu.train.state import TrainState, save_checkpoint
+
+    targs = parse_args([
+        "--data_dir", "x", "--save_path", "y", "--loss_type", "mpjpe",
+        "--output_n", "10", "--num_blocks", "2", "--hidden_dim", "30",
+    ])
+    model = build_conv_mixer(targs, 66, 66, 10, 10)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 66)),
+                           training=False)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats={}, opt_state=(), rng=jax.random.PRNGKey(0),
+    )
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint(path, state, epoch=0, meta=vars(targs))
+    p = Predictor.from_checkpoint(None, path)
+    x = jnp.ones((2, 10, 66))
+    out = p.predict(x)
+    assert out.shape == (2, 10, 66)
+    np.testing.assert_allclose(
+        out, model.apply(variables, x, training=False), atol=1e-5)
+
+    bare = str(tmp_path / "bare.ckpt")
+    save_checkpoint(bare, state, epoch=0)  # no meta
+    with pytest.raises(ValueError, match="meta"):
+        Predictor.from_checkpoint(None, bare)
+
+
+def test_model_from_meta_families():
+    """The meta->model rebuild distinguishes the trainer families without a
+    model_type flag: AMASS (mlp) vs AIS (conv kernel flags), and the
+    autoregressive *_model window args."""
+    from motionmixerconv_tpu.cli._runner import model_from_checkpoint_meta
+    from motionmixerconv_tpu.models import ConvMixer, MlpMixer
+
+    amass_meta = {"input_n": 10, "output_n": 25, "pose_dim": 54,
+                  "num_blocks": 2, "hidden_dim": 32, "tokens_mlp_dim": 8,
+                  "channels_mlp_dim": 32, "activation": "gelu",
+                  "regularization": 0.1, "r_se": 8}
+    m, shape = model_from_checkpoint_meta(amass_meta)
+    assert isinstance(m, MlpMixer) and shape == (1, 10, 54)
+
+    ais_meta = dict(amass_meta, pose_dim=57, conv1_kernel_shape=(5, 9),
+                    conv_nChan=2)
+    m, shape = model_from_checkpoint_meta(ais_meta)
+    assert isinstance(m, ConvMixer) and m.conv1_kernel_shape == (5, 9)
+    assert shape == (1, 10, 57)
+
+    ar_meta = dict(ais_meta, input_n_model=10, output_n_model=5,
+                   input_n=10, output_n=25)
+    m, shape = model_from_checkpoint_meta(ar_meta)
+    assert m.out_nTP == 5 and shape == (1, 10, 57)
