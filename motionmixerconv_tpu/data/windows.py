@@ -15,6 +15,7 @@ consumption order; h36m/utils/data_utils.py:600-663).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterator, Tuple
 
 import jax
@@ -78,9 +79,29 @@ class WindowedCorpus:
 def gather_windows(
     frames: jnp.ndarray, starts: jnp.ndarray, seq_len: int
 ) -> jnp.ndarray:
-    """Gather (B, seq_len, D) windows from a (N, D) corpus. jit-safe."""
-    idx = starts[:, None] + jnp.arange(seq_len)[None, :]
-    return frames[idx]
+    """Gather (B, seq_len, D) windows from a (N, D) corpus. jit-safe.
+
+    Two exact-value formulations (selectable via ``MMC_GATHER_IMPL``,
+    measured by ``tools/probe.py gather``):
+
+    - ``take`` (default): one (B, seq_len) row-index gather —
+      B*seq_len independent D-row transfers (384 B at D=96).
+    - ``dslice``: ``vmap(dynamic_slice)`` — B contiguous (seq_len, D)
+      block transfers (~13 KB each). Windows ARE contiguous frame runs,
+      so the block form tells XLA what the row form hides.
+
+    Both clamp out-of-range indices (gather clamps per row, dynamic_slice
+    clamps the start); production starts are always in range
+    (``batch_starts`` pads with window 0).
+    """
+    if os.environ.get("MMC_GATHER_IMPL", "take") == "take":
+        idx = starts[:, None] + jnp.arange(seq_len)[None, :]
+        return frames[idx]
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            frames, (s,) + (0,) * (frames.ndim - 1),
+            (seq_len,) + frames.shape[1:])
+    )(starts)
 
 
 def batch_starts(

@@ -147,6 +147,25 @@ def test_gather_and_batch_iteration(h36m_dir):
     assert seen == len(ds)
 
 
+def test_gather_impls_equivalent(monkeypatch):
+    """The take (row-gather) and dslice (block-slice) formulations of
+    gather_windows return identical windows, under jit and in a scan."""
+    import jax
+    import jax.numpy as jnp
+
+    frames = jnp.asarray(
+        np.random.RandomState(0).randn(200, 96).astype(np.float32))
+    starts = jnp.asarray([0, 5, 165, 17], dtype=jnp.int32)  # 165 = N - T
+
+    outs = {}
+    for impl in ("take", "dslice"):
+        monkeypatch.setenv("MMC_GATHER_IMPL", impl)
+        outs[impl] = jax.jit(
+            lambda f, s: gather_windows(f, s, 35))(frames, starts)
+    np.testing.assert_array_equal(np.asarray(outs["take"]),
+                                  np.asarray(outs["dslice"]))
+
+
 class TestAMASSParity:
     """Item-level parity against the reference Datasets class, executed over
     the same synthetic corpus with its hardcoded paths IO-redirected

@@ -37,9 +37,21 @@ def _artifact(name):
 
 def test_help_lists_all_subcommands():
     out = _run(["--help"], timeout=60)
-    for sub in ("roofline", "decomp", "encoder", "fused-in-scan", "ar",
-                "serving", "fused-epochs", "njobs"):
+    for sub in ("roofline", "decomp", "gather", "encoder", "fused-in-scan",
+                "ar", "serving", "fused-epochs", "njobs"):
         assert sub in out
+
+
+def test_gather_smoke():
+    # the in-probe value assertion verifies every formulation gathers the
+    # same windows; here also check the artifact shape + the full-step rows
+    _run(["gather", *TINY, "--batches", "16", "--full-step"])
+    art = _artifact("gather")
+    row = art["b16"]
+    for v in ("row", "take", "pad128", "dslice", "flat"):
+        assert row[v]["us_per_step"] > 0
+    assert row["full_step_take"]["step_us"] > 0
+    assert row["full_step_dslice"]["step_us"] > 0
 
 
 def test_roofline_smoke():

@@ -67,10 +67,12 @@ def test_scan_epoch_trains_finite(tpu_device):
     starts = jnp.asarray(rs.randint(0, n_windows, (8, 32)).astype(np.int32))
     w = jnp.ones((8, 32), jnp.float32)
     epoch_fn = jax.jit(tr._train_epoch_scan_impl)
-    new_state, losses = epoch_fn(state, frames, starts, w)
-    losses = np.asarray(jax.device_get(losses))
-    assert losses.shape == (8,)
-    assert np.all(np.isfinite(losses))
+    # the scan-epoch impl returns (state, weighted-mean epoch loss) —
+    # a SCALAR (loop.py _train_epoch_scan_impl), not a per-batch stream
+    new_state, loss = epoch_fn(state, frames, starts, w)
+    loss = np.asarray(jax.device_get(loss))
+    assert loss.shape == ()
+    assert np.isfinite(loss) and float(loss) > 0
     assert int(jax.device_get(new_state.step)) == int(
         jax.device_get(state.step)) + 8
 

@@ -457,6 +457,113 @@ def _forward_detail(tr, frames, dims, starts1, w1, starts, w, batch,
     return out
 
 
+# ---------------------------------------------------------------- gather
+
+
+def cmd_gather(args):
+    """Window-gather formulations inside the batch scan — instrument for
+    the b2048 achieved-bandwidth question (VERDICT r3 item 3). The train
+    step's `frames[starts[:,None]+arange(T)]` is a gather of 384-byte
+    (96 x f32) rows; `probe.py decomp` measured it row-cost-bound
+    (~24 GB/s at b2048). Variants change the gather granularity:
+
+      row      current production form: (B, T) row-index gather
+      take     jnp.take(frames, flat_rows, axis=0) (same HLO family)
+      pad128   frames zero-padded to (N, 128): 512-B lane-aligned rows,
+               sliced back to 96 after the gather (exact values)
+      dslice   vmap(dynamic_slice(frames, (s, 0), (T, D))): B contiguous
+               (T, D) blocks of ~13 KB instead of B*T rows (exact values)
+      flat     element-level gather of the flattened corpus (floor probe)
+
+    Each body sums the gathered window so the gather output is consumed
+    exactly once (like the train step's encoder slice)."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionmixerconv_tpu.data.windows import gather_windows
+
+    frames = make_frames(args.n_frames)
+    n_windows = frames.shape[0] - SEQ_LEN
+    pad = jnp.pad(frames, ((0, 0), (0, 128 - frames.shape[1])))
+    jax.block_until_ready(pad)
+    flat = frames.reshape(-1)
+    D = frames.shape[1]
+    rs = np.random.RandomState(0)
+    results = {"device": device_kind()}
+
+    def body_row(s):
+        return gather_windows(frames, s, SEQ_LEN).sum()
+
+    def body_take(s):
+        idx = (s[:, None] + jnp.arange(SEQ_LEN)[None, :]).reshape(-1)
+        return jnp.take(frames, idx, axis=0).sum()
+
+    def body_pad128(s):
+        idx = s[:, None] + jnp.arange(SEQ_LEN)[None, :]
+        return pad[idx][:, :, :D].sum()
+
+    def body_dslice(s):
+        win = jax.vmap(
+            lambda st: jax.lax.dynamic_slice(frames, (st, 0), (SEQ_LEN, D))
+        )(s)
+        return win.sum()
+
+    def body_flat(s):
+        idx = (s[:, None, None] * D
+               + (jnp.arange(SEQ_LEN) * D)[None, :, None]
+               + jnp.arange(D)[None, None, :]).reshape(-1)
+        return flat[idx].sum()
+
+    bodies = {"row": body_row, "take": body_take, "pad128": body_pad128,
+              "dslice": body_dslice, "flat": body_flat}
+
+    for batch, n_batches in batch_plan(args.batches, args.n_batches):
+        starts1, w1, starts, w = starts_for(rs, n_windows, n_batches, batch)
+        window_mb = batch * SEQ_LEN * D * 4 / 1e6
+        row = {"window_mb_per_step": window_mb}
+        for vname in args.variants:
+            b = bodies[vname]
+
+            @jax.jit
+            def epoch(st, fn=b):
+                def f(c, s):
+                    return c, fn(s)
+
+                _, out = jax.lax.scan(f, 0.0, st)
+                return out.sum()
+
+            # value check: every variant must gather identical windows
+            ref = jax.jit(lambda s: body_row(s))(starts1)
+            got = jax.jit(lambda s, fn=b: fn(s))(starts1)
+            # tolerance covers f32 reduction-order noise in the check sum
+            assert abs(float(ref) - float(got)) <= 1e-5 * abs(float(ref)) + 1.0, \
+                f"{vname} gathers different values ({got} vs {ref})"
+            dt = timed(epoch, starts, reps=args.reps)
+            us = dt / n_batches * 1e6
+            row[vname] = {
+                "us_per_step": us,
+                "gbytes_s": window_mb * 1e6 / (us * 1e-6) / 1e9,
+            }
+            log(f"b{batch} {vname:>7}: {us:8.1f} us/step  "
+                f"{row[vname]['gbytes_s']:7.1f} GB/s effective "
+                f"({window_mb:.1f} MB windows)")
+        if args.full_step:
+            for impl in ("take", "dslice"):
+                os.environ["MMC_GATHER_IMPL"] = impl
+                try:
+                    r = _measure_scan_config(
+                        flagship_trainer(), frames, batch, n_batches, rs,
+                        args.reps, name=f"gather full {impl} b{batch}")
+                finally:
+                    os.environ.pop("MMC_GATHER_IMPL", None)
+                row[f"full_step_{impl}"] = r
+                log(f"b{batch} full train step [{impl:>6}]: "
+                    f"{r['step_us']:8.0f} us/step  "
+                    f"({r['seq_per_s']:,.0f} seq/s)")
+        results[f"b{batch}"] = row
+    write_json("gather", results)
+
+
 # --------------------------------------------------------------- encoder
 
 
@@ -938,6 +1045,14 @@ def main(argv=None):
     p = add("decomp", cmd_decomp)
     p.add_argument("--forward-detail", action="store_true")
     p.add_argument("--controls", action="store_true")
+
+    p = add("gather", cmd_gather)
+    p.add_argument("--variants", nargs="*",
+                   default=["row", "take", "pad128", "dslice", "flat"],
+                   choices=["row", "take", "pad128", "dslice", "flat"])
+    p.add_argument("--full-step", action="store_true",
+                   help="also time the FULL train step under the take and "
+                        "dslice gather impls (MMC_GATHER_IMPL)")
 
     p = add("encoder", cmd_encoder)
     p.add_argument("--variants", nargs="*",
