@@ -84,6 +84,13 @@ class PoseEncoder(nn.Module):
     # f32-noise above harmonic ~26 at production scales), but is NOT
     # bit-identical, so goldens/checkpoint-parity paths keep "direct".
     harmonic_impl: str = "direct"
+    # storage dtype for the MATERIALIZED harmonic embedding (the training
+    # step's dominant HBM tensor — 692 MB at b2048, written in the forward
+    # and re-read by the backward's weight-grad contraction). jnp.bfloat16
+    # halves that traffic; sin/cos values are O(1) so the cast costs ~3
+    # decimal digits on the features only (params and all other compute
+    # stay f32). Opt-in — NOT bit-identical to the reference.
+    embed_dtype: Optional[Any] = None
 
     def setup(self):
         if (self.harmonic_impl != "direct" and self.precomputed
@@ -193,6 +200,11 @@ class PoseEncoder(nn.Module):
                     x, self.n_harmonic_functions, self.omega0,
                     impl=self.harmonic_impl,
                 )
+                if self.embed_dtype is not None:
+                    # the cast becomes the root of the trig fusion, so the
+                    # buffer XLA materializes (and the backward re-reads)
+                    # is embed_dtype-wide; the dense upcasts per-tile
+                    embed = embed.astype(self.embed_dtype)
             y = self.embed_mlp(embed)  # (B, T, E)
         y = self.channelUpscaling(y[..., None])  # (B, T, E, C)
         return y

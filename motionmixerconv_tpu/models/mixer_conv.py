@@ -221,6 +221,10 @@ class ConvMixer(nn.Module):
     # angle-doubling recurrence, ~one transcendental pair total — the
     # VPU-trig eliminator; see PoseEncoder._doubling_harmonics).
     encoder_harmonic_impl: str = "direct"
+    # storage dtype for the materialized harmonic embedding only (e.g.
+    # jnp.bfloat16 halves the step's dominant HBM tensor; see
+    # PoseEncoder.embed_dtype). Opt-in, not bit-identical.
+    encoder_embed_dtype: Optional[Any] = None
     # computation dtype (params stay f32); jnp.bfloat16 = TPU mixed precision
     dtype: Optional[Any] = None
 
@@ -235,6 +239,7 @@ class ConvMixer(nn.Module):
             fused=self.encoder_fused,
             precomputed=self.encoder_precomputed,
             harmonic_impl=self.encoder_harmonic_impl,
+            embed_dtype=self.encoder_embed_dtype,
         )
         self.Mixer_Block = [
             ConvMixerBlock(

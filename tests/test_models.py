@@ -186,6 +186,39 @@ def test_bfloat16_compute_dtype():
     assert mlp.apply(vm, x54, training=False).dtype == jnp.bfloat16
 
 
+def test_bfloat16_embed_storage_dtype():
+    """encoder_embed_dtype=jnp.bfloat16 stores only the materialized
+    harmonic embedding in bf16 (the training step's dominant HBM tensor,
+    DESIGN §6); everything else stays f32. Output dtype is f32 and within
+    bf16-rounding tolerance of the all-f32 forward; gradients are finite."""
+    import jax
+
+    kw = dict(
+        num_blocks=2, dimPosIn=66, dimPosEmb=50, dimPosOut=66, in_nTP=10,
+        out_nTP=25, conv_nChan=1, conv1_kernel_shape=(1, 3),
+        conv1_stride=(1, 1), conv1_padding=(0, 1), mode_conv="twice",
+        activation="mish", regularization=0.1, use_se=True, r_se=8,
+        encoder_n_harmonic_functions=8, encoder_omega0=0.1,
+    )
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(6, 10, 66).astype(np.float32) * 0.5)
+    m32 = ConvMixer(**kw)
+    m16 = ConvMixer(**kw, encoder_embed_dtype=jnp.bfloat16)
+    variables = m32.init(jax.random.PRNGKey(0), x, training=False)
+    y32 = m32.apply(variables, x, training=False)
+    y16 = m16.apply(variables, x, training=False)
+    assert y16.dtype == jnp.float32  # compute stays f32 downstream
+    rel = np.abs(np.asarray(y16) - y32).max() / np.abs(y32).max()
+    assert 0 < rel < 0.02  # differs (cast is live) but only by bf16 rounding
+
+    def loss(v):
+        return jnp.sum(m16.apply(v, x, training=False) ** 2)
+
+    g = jax.grad(loss)(variables)
+    assert all(np.all(np.isfinite(np.asarray(p, np.float32)))
+               for p in jax.tree_util.tree_leaves(g))
+
+
 def test_conv_encoder_equals_full_width_conv():
     """Working ConvEncoder re-design: a Conv2d spanning the full feature
     width IS a Dense over features (the reference's conv_encoder.py:4-30

@@ -122,7 +122,8 @@ def make_frames(n_frames: int, seed: int = 0):
 
 
 def flagship_trainer(emb: int = 50, nharm: int = 64, dtype=None,
-                     fused: bool = False, impl: str = "direct"):
+                     fused: bool = False, impl: str = "direct",
+                     embed_dtype=None):
     """The bench flagship (bench.CONV_KW) with encoder-mechanism knobs."""
     from motionmixerconv_tpu.data.constants import H36M_DIM_USED_XYZ
     from motionmixerconv_tpu.models import ConvMixer
@@ -130,7 +131,8 @@ def flagship_trainer(emb: int = 50, nharm: int = 64, dtype=None,
 
     kw = dict(bench.CONV_KW)
     kw.update(dimPosEmb=emb, encoder_n_harmonic_functions=nharm,
-              dtype=dtype, encoder_fused=fused, encoder_harmonic_impl=impl)
+              dtype=dtype, encoder_fused=fused, encoder_harmonic_impl=impl,
+              encoder_embed_dtype=embed_dtype)
     model = ConvMixer(**kw)
     return Trainer(
         model, make_optimizer(lr=1e-3, steps_per_epoch=100),
@@ -575,12 +577,15 @@ def cmd_encoder(args):
     frames = make_frames(args.n_frames)
     rs = np.random.RandomState(0)
     results = {"device": device_kind()}
+    import jax.numpy as jnp
+
     builders = {
         "direct": dict(),
         "nharm0": dict(nharm=0),
         "doubling": dict(impl="doubling"),
         "fused": dict(fused=True),
         "fused_doubling": dict(fused=True, impl="doubling"),
+        "embed_bf16": dict(embed_dtype=jnp.bfloat16),
     }
     for batch, n_batches in batch_plan(args.batches, args.n_batches):
         row = {}
@@ -1059,7 +1064,7 @@ def main(argv=None):
                    default=["direct", "nharm0", "doubling", "fused",
                             "fused_doubling"],
                    choices=["direct", "nharm0", "doubling", "fused",
-                            "fused_doubling", "precomputed"])
+                            "fused_doubling", "precomputed", "embed_bf16"])
 
     add("fused-in-scan", cmd_fused_in_scan, batches=[50, 512])
 
