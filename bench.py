@@ -32,7 +32,11 @@ surface. The bench runs ONE fresh-interpreter device probe with a hard
 wall-clock cap; if it fails, the bench still measures the torch-CPU
 baselines it can, prints a structured machine-readable skip record
 ({"skipped": "backend unavailable", ...}) and exits 0 — never rc 124.
-A backend that flaps mid-measurement degrades to the same skip record.
+A backend that flaps mid-measurement degrades to the same skip record; a
+backend that HANGS mid-measurement is bounded too — the measurement itself
+runs in a killable child process under MMC_BENCH_MEASURE_BUDGET_S (default
+3600 s) and emits the skip record on expiry (an in-process watchdog cannot
+interrupt a device_get blocked in the runtime).
 
 Baselines run the reference's own torch modules (model, loss, Adam,
 autoregressive_process_batch) on CPU when /root/reference is mounted, and
@@ -520,7 +524,70 @@ def _emit_skip(reason: str, tail: str, base: dict) -> None:
     }))
 
 
+def _measure_child_main() -> None:
+    """--measure-child: run measure_jax() in THIS process and print the raw
+    record as the last stdout line. The parent runs it as a killable
+    subprocess so a backend that HANGS (rather than raising) mid-measurement
+    still yields a structured skip record within the wall-clock budget —
+    an in-process watchdog cannot interrupt a blocked device_get."""
+    try:
+        ours, device_kind = measure_jax()
+    except Exception as e:
+        if _is_backend_unavailable(e):
+            print(json.dumps({"unavailable": str(e)[-300:]}))
+            return
+        raise
+    print(json.dumps({"ours": ours, "device": device_kind}, default=float))
+
+
+def _run_measurement(base: dict) -> tuple[dict, str] | None:
+    """Run the measurement child under MMC_BENCH_MEASURE_BUDGET_S (default
+    3600 s — a healthy run takes ~10-20 min incl. remote compiles). Returns
+    (ours, device_kind), or None after emitting a skip record."""
+    import subprocess
+
+    budget = float(os.environ.get("MMC_BENCH_MEASURE_BUDGET_S", 3600))
+    env_cmd = os.environ.get("MMC_BENCH_CHILD_CMD")  # test hook
+    cmd = (env_cmd.split() if env_cmd
+           else [sys.executable, os.path.abspath(__file__),
+                 "--measure-child"])
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=budget)
+    except subprocess.TimeoutExpired as e:
+        tail = ((e.stderr or b"").decode(errors="replace")[-300:].strip())
+        print(f"bench: measurement exceeded {budget:.0f}s budget; "
+              f"emitting skip record", file=sys.stderr)
+        _emit_skip("measurement exceeded wall-clock budget", tail, base)
+        return None
+    sys.stderr.write(r.stderr.decode(errors="replace"))
+    lines = [ln for ln in r.stdout.decode().splitlines() if ln.strip()]
+    rec = None
+    if lines:
+        try:
+            rec = json.loads(lines[-1])
+        except ValueError:
+            rec = None
+    if r.returncode != 0 or rec is None:
+        tail = r.stderr.decode(errors="replace")[-300:].strip()
+        if r.returncode != 0 and not _is_backend_unavailable(
+                Exception(tail)):
+            raise RuntimeError(
+                f"measurement child failed (rc {r.returncode}): {tail}")
+        _emit_skip("backend unavailable (mid-measurement)", tail, base)
+        return None
+    if "unavailable" in rec:
+        print(f"bench: backend flapped mid-measurement: {rec['unavailable']}",
+              file=sys.stderr)
+        _emit_skip("backend unavailable (mid-measurement)",
+                   rec["unavailable"], base)
+        return None
+    return rec["ours"], rec["device"]
+
+
 def main():
+    if "--measure-child" in sys.argv:
+        _measure_child_main()
+        return
     refresh = "--refresh-baseline-cache" in sys.argv
     healthy, tail = _probe_device()
     # torch-CPU baselines are measurable regardless of backend health
@@ -530,16 +597,10 @@ def main():
               file=sys.stderr)
         _emit_skip("backend unavailable", tail, base)
         return
-    try:
-        ours, device_kind = measure_jax()
-    except Exception as e:
-        if _is_backend_unavailable(e):  # backend flapped mid-measurement
-            print(f"bench: backend flapped mid-measurement: {e}",
-                  file=sys.stderr)
-            _emit_skip("backend unavailable (mid-measurement)",
-                       str(e)[-300:], base)
-            return
-        raise
+    measured = _run_measurement(base)
+    if measured is None:
+        return
+    ours, device_kind = measured
 
     def spread(t):
         return round((t["max_s"] - t["min_s"]) / max(t["median_s"], 1e-12), 3)

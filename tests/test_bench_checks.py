@@ -117,6 +117,63 @@ class TestSkipRecord:
         # (from the committed cache under MMC_BENCH_NO_LIVE_BASELINE)
         assert rec["torch_baselines"].get("h36m_conv_b2048", 0) > 0
 
+    def test_hung_measurement_hits_budget(self, tmp_path):
+        """A backend that hangs (not raises) mid-measurement: the child is
+        killed at MMC_BENCH_MEASURE_BUDGET_S and a structured skip record
+        still comes out with rc 0 (the BENCH_r03 failure mode was a hang
+        inside measure_jax that no in-process guard could interrupt)."""
+        env = dict(os.environ)
+        env["MMC_BENCH_PROBE_CMD"] = "true"  # healthy probe
+        env["MMC_BENCH_NO_LIVE_BASELINE"] = "1"
+        env["MMC_BENCH_CHILD_CMD"] = "sleep 60"
+        env["MMC_BENCH_MEASURE_BUDGET_S"] = "2"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, timeout=120, env=env, cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        rec = json.loads(r.stdout.decode().strip().splitlines()[-1])
+        assert rec["skipped"] == "measurement exceeded wall-clock budget"
+        assert rec["value"] is None
+        assert rec["torch_baselines"].get("h36m_conv_b2048", 0) > 0
+
+    def test_measurement_child_record_roundtrip(self, tmp_path):
+        """A fake child that prints a minimal measurement record: the parent
+        assembles the normal full output from it (no skip)."""
+        fake = tmp_path / "fake_child.py"
+        ours = {
+            k: {"tput": 1000.0, "mfu": 0.01, "hbm_frac": 0.5,
+                "flops_per_step": 1e6, "bytes_per_step": 1e6,
+                "gbytes_per_s": 100.0, "per_step_us": 100.0,
+                "timing": {"median_s": 0.1, "min_s": 0.1, "max_s": 0.1,
+                           "reps": 3}}
+            for k in ("h36m_conv_b50", "h36m_conv_b512", "h36m_conv_b2048",
+                      "amass_mlp_b200", "h36m_autoreg_b50")
+        }
+        ours["h36m_full_epoch_s"] = {"wall_s": 1.0, "min_s": 1.0,
+                                     "max_s": 1.0}
+        ours["serving_fused_mc_b8_ms"] = {
+            "ms_synced": 5.0, "ms_chained": 1.0,
+            "timing": {"median_s": 0.005, "min_s": 0.005, "max_s": 0.005,
+                       "reps": 3}}
+        fake.write_text(
+            "import json\n"
+            f"print(json.dumps({{'ours': {ours!r}, 'device': 'fake'}}))\n")
+        env = dict(os.environ)
+        env["MMC_BENCH_PROBE_CMD"] = "true"
+        env["MMC_BENCH_NO_LIVE_BASELINE"] = "1"
+        env["MMC_BENCH_CHILD_CMD"] = f"{sys.executable} {fake}"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, timeout=120, env=env, cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        rec = json.loads(r.stdout.decode().strip().splitlines()[-1])
+        assert "skipped" not in rec
+        assert rec["device"] == "fake"
+        assert rec["value"] == 1000.0
+        assert len(rec["configs"]) == 7
+
     def test_backend_error_classifier(self):
         sys.path.insert(0, REPO)
         try:
