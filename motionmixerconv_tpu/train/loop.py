@@ -196,6 +196,12 @@ class Trainer:
     def _train_step_impl(self, state: TrainState, frames, starts, w):
         seq_len = self.input_n + self.output_n
         batch = gather_windows(frames, starts, seq_len)
+        return self._train_step_on_batch(state, batch, w)
+
+    def _train_step_on_batch(self, state: TrainState, batch, w):
+        """One optimizer step on ALREADY-GATHERED (B, seq_len, D) windows —
+        split from _train_step_impl so the prefetch-pipelined epoch scan can
+        gather iteration i+1's windows while computing step i."""
         model_in, seq_gt, last = self._prepare(batch)
         rng, new_rng = jax.random.split(state.rng)
 
@@ -253,6 +259,38 @@ class Trainer:
             return st, (loss * jnp.sum(ww), jnp.sum(ww))
 
         state, (loss_sums, w_sums) = jax.lax.scan(step, state, (starts, w))
+        return state, jnp.sum(loss_sums) / jnp.maximum(jnp.sum(w_sums), 1.0)
+
+    def _train_epoch_scan_prefetch_impl(
+        self, state: TrainState, frames, starts, w
+    ):
+        """The scan epoch with a one-batch window-gather prefetch pipeline.
+
+        The row gather that fetches a step's windows is descriptor-cost-
+        bound (~26 ns/row; `tools/probe.py gather` — 140 us at b50, 32% of
+        the step) and sits on the critical path in the plain scan body.
+        Here the scan carries the CURRENT step's pre-gathered windows and
+        each iteration issues the NEXT batch's gather before computing, so
+        the two have no data dependency and XLA's latency-hiding scheduler
+        can overlap the gather DMAs with the step's MXU/VPU work.
+
+        Numerically identical to _train_epoch_scan_impl: every step consumes
+        the same windows and weights in the same order (the losses stream is
+        bit-for-bit the plain scan's); the only extra work is one harmless
+        wrapped-around prefetch on the last iteration (jnp.roll).
+        """
+        seq_len = self.input_n + self.output_n
+        first = gather_windows(frames, starts[0], seq_len)
+
+        def step(carry, batch_idx):
+            st, window = carry
+            next_starts, ww = batch_idx
+            nxt = gather_windows(frames, next_starts, seq_len)
+            st, loss = self._train_step_on_batch(st, window, ww)
+            return (st, nxt), (loss * jnp.sum(ww), jnp.sum(ww))
+
+        (state, _), (loss_sums, w_sums) = jax.lax.scan(
+            step, (state, first), (jnp.roll(starts, -1, axis=0), w))
         return state, jnp.sum(loss_sums) / jnp.maximum(jnp.sum(w_sums), 1.0)
 
     # ------------------------------------------------------------ epoch APIs

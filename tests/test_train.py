@@ -93,6 +93,32 @@ class TestTrainingLoop:
         s2, l2 = tr.train_epoch(restored, ds, frames, 32, seed=9)
         assert l1 == pytest.approx(l2, rel=1e-6)
 
+    def test_prefetch_epoch_equivalence(self, h36m_dir):
+        """The prefetch-pipelined epoch scan (gather for step i+1 issued
+        during step i's compute) is numerically identical to the plain scan:
+        same windows, same order, same math — params and loss match."""
+        ds = H36MDataset(h36m_dir, 10, 10, 5, actions=["walking"], split=0)
+        frames = jnp.asarray(ds.frames)
+        tr = _trainer()
+        n_windows = frames.shape[0] - tr.input_n - tr.output_n
+        rs = np.random.RandomState(0)
+        starts = jnp.asarray(
+            rs.randint(0, n_windows, (5, 16)).astype(np.int32))
+        w = jnp.ones((5, 16), jnp.float32)
+
+        s0 = tr.init_state(jax.random.PRNGKey(0))
+        s1 = tr.init_state(jax.random.PRNGKey(0))
+        plain_s, plain_l = jax.jit(tr._train_epoch_scan_impl)(
+            s0, frames, starts, w)
+        pf_s, pf_l = jax.jit(tr._train_epoch_scan_prefetch_impl)(
+            s1, frames, starts, w)
+        assert float(plain_l) == pytest.approx(float(pf_l), rel=1e-6)
+        assert int(pf_s.step) == int(plain_s.step)
+        for a, b in zip(jax.tree_util.tree_leaves(plain_s.params),
+                        jax.tree_util.tree_leaves(pf_s.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
     def test_data_parallel_equivalence(self, h36m_dir):
         """Sharded batches over an 8-device CPU mesh == single-device run."""
         from motionmixerconv_tpu.parallel import make_mesh

@@ -174,7 +174,7 @@ def write_json(name: str, results: dict) -> None:
 
 
 def _measure_scan_config(tr, frames, batch, n_batches, rs, reps,
-                         name="cfg"):
+                         name="cfg", epoch_attr="_train_epoch_scan_impl"):
     """bench.py's scan_config methodology for an arbitrary trainer."""
     import jax
 
@@ -182,7 +182,7 @@ def _measure_scan_config(tr, frames, batch, n_batches, rs, reps,
     n_windows = frames.shape[0] - SEQ_LEN
     starts1, w1, starts, w = starts_for(rs, n_windows, n_batches, batch)
     step_fn = jax.jit(tr._train_step_impl)
-    epoch_fn = jax.jit(tr._train_epoch_scan_impl)
+    epoch_fn = jax.jit(getattr(tr, epoch_attr))
     flops, bts = step_cost(step_fn, state, frames, starts1, w1)
     dt = timed(lambda: epoch_fn(state, frames, starts, w)[1], reps=reps)
     dtype = jax.tree_util.tree_leaves(state.params)[0].dtype
@@ -550,16 +550,25 @@ def cmd_gather(args):
                 f"{row[vname]['gbytes_s']:7.1f} GB/s effective "
                 f"({window_mb:.1f} MB windows)")
         if args.full_step:
-            for impl in ("take", "dslice"):
-                os.environ["MMC_GATHER_IMPL"] = impl
-                try:
+            for impl in args.full_impls:
+                if impl == "prefetch":
+                    # prefetch-pipelined epoch: next batch's gather overlaps
+                    # this step's compute (_train_epoch_scan_prefetch_impl)
                     r = _measure_scan_config(
                         flagship_trainer(), frames, batch, n_batches, rs,
-                        args.reps, name=f"gather full {impl} b{batch}")
-                finally:
-                    os.environ.pop("MMC_GATHER_IMPL", None)
+                        args.reps, name=f"gather full prefetch b{batch}",
+                        epoch_attr="_train_epoch_scan_prefetch_impl")
+                else:
+                    os.environ["MMC_GATHER_IMPL"] = impl
+                    try:
+                        r = _measure_scan_config(
+                            flagship_trainer(), frames, batch, n_batches,
+                            rs, args.reps,
+                            name=f"gather full {impl} b{batch}")
+                    finally:
+                        os.environ.pop("MMC_GATHER_IMPL", None)
                 row[f"full_step_{impl}"] = r
-                log(f"b{batch} full train step [{impl:>6}]: "
+                log(f"b{batch} full train step [{impl:>8}]: "
                     f"{r['step_us']:8.0f} us/step  "
                     f"({r['seq_per_s']:,.0f} seq/s)")
         results[f"b{batch}"] = row
@@ -1056,8 +1065,10 @@ def main(argv=None):
                    default=["row", "take", "pad128", "dslice", "flat"],
                    choices=["row", "take", "pad128", "dslice", "flat"])
     p.add_argument("--full-step", action="store_true",
-                   help="also time the FULL train step under the take and "
-                        "dslice gather impls (MMC_GATHER_IMPL)")
+                   help="also time the FULL train step under --full-impls")
+    p.add_argument("--full-impls", nargs="*",
+                   default=["take", "dslice", "prefetch"],
+                   choices=["take", "dslice", "prefetch"])
 
     p = add("encoder", cmd_encoder)
     p.add_argument("--variants", nargs="*",
