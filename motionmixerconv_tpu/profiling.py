@@ -78,12 +78,28 @@ def check_physical_ceilings(
     dtype="float32",
     flops_per_s: float | None = None,
     bytes_per_s: float | None = None,
-) -> None:
+    strict_bytes: bool = True,
+) -> bool:
     """Fail LOUDLY if a measurement implies super-physical throughput.
 
     Guards both roofs (VERDICT r3 items 1-2): achieved FLOP/s against the
     dtype-appropriate MXU peak, and achieved HBM bytes/s against the memory
     roof. Unknown device kinds (e.g. CPU test runs) check nothing.
+
+    The two roofs differ in evidentiary strength. cost_analysis FLOPs are
+    exact algebraic counts, so implied FLOP/s above the MXU peak can only
+    mean broken timing — always raises. cost_analysis "bytes accessed" is
+    an HLO-level UPPER BOUND on HBM traffic: ops whose operands/results
+    live in fused VMEM intermediates are still counted (measured r4: the
+    doubling-recurrence step, per-rep-synced, implies 887 GB/s vs the 819
+    roof — its stacked sin/cos intermediates never touch HBM). A bytes
+    breach therefore means EITHER broken timing or an overcounting byte
+    model. ``strict_bytes=True`` (bench configs, whose modeled traffic is
+    known dominated by real tensors) raises; ``strict_bytes=False`` (probe
+    controls with heavy fusion) returns True so callers can annotate the
+    result as model-overcounted instead of losing the measurement.
+
+    Returns True if the bytes roof was breached but tolerated.
     """
     if flops_per_s is not None:
         peak = peak_flops_for(device_kind, dtype)
@@ -96,11 +112,22 @@ def check_physical_ceilings(
     if bytes_per_s is not None:
         roof = PEAK_BYTES.get(device_kind)
         if roof and bytes_per_s > roof * _BYTES_CEILING_SLACK:
-            raise RuntimeError(
-                f"bench '{name}' implies {bytes_per_s:.3g} HBM bytes/s > "
-                f"{device_kind} roof {roof:.3g} — timing or byte "
-                f"accounting is broken"
+            if strict_bytes:
+                raise RuntimeError(
+                    f"bench '{name}' implies {bytes_per_s:.3g} HBM bytes/s > "
+                    f"{device_kind} roof {roof:.3g} — timing or byte "
+                    f"accounting is broken"
+                )
+            import sys
+
+            print(
+                f"# '{name}': modeled {bytes_per_s:.3g} B/s > roof "
+                f"{roof:.3g} — cost_analysis byte model overcounts fused "
+                f"VMEM traffic here; treating bytes as an upper bound",
+                file=sys.stderr,
             )
+            return True
+    return False
 
 
 @contextlib.contextmanager

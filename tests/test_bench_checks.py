@@ -50,6 +50,24 @@ class TestCeilings:
             check_physical_ceilings(
                 "fab", device_kind=KIND, bytes_per_s=roof * 1.10)
 
+    def test_bytes_breach_tolerated_when_not_strict(self):
+        """strict_bytes=False: a bytes-roof breach is reported as a byte-
+        model overcount (returns True) instead of raising — the measured r4
+        case is the doubling control, whose fused VMEM intermediates are
+        counted by cost_analysis but never touch HBM. FLOP breaches still
+        raise regardless."""
+        roof = PEAK_BYTES[KIND]
+        assert check_physical_ceilings(
+            "fused-model", device_kind=KIND, bytes_per_s=roof * 1.10,
+            strict_bytes=False) is True
+        assert check_physical_ceilings(
+            "ok", device_kind=KIND, bytes_per_s=roof * 0.5,
+            strict_bytes=False) is False
+        with pytest.raises(RuntimeError, match="float32 peak"):
+            check_physical_ceilings(
+                "fab", device_kind=KIND, dtype="float32",
+                flops_per_s=PEAK_FLOPS[KIND], strict_bytes=False)
+
     def test_unknown_device_checks_nothing(self):
         check_physical_ceilings(
             "cpu-run", device_kind="cpu", dtype="float32",

@@ -186,11 +186,15 @@ def _measure_scan_config(tr, frames, batch, n_batches, rs, reps,
     flops, bts = step_cost(step_fn, state, frames, starts1, w1)
     dt = timed(lambda: epoch_fn(state, frames, starts, w)[1], reps=reps)
     dtype = jax.tree_util.tree_leaves(state.params)[0].dtype
-    check_physical_ceilings(
+    overcounted = check_physical_ceilings(
         name, device_kind=device_kind(), dtype=dtype,
         flops_per_s=flops * n_batches / dt,
-        bytes_per_s=bts * n_batches / dt)
+        bytes_per_s=bts * n_batches / dt,
+        # probe variants (doubling etc.) have heavily-fused byte models;
+        # a bytes breach here means the model overcounts, not bad timing
+        strict_bytes=False)
     return {
+        **({"bytes_model_overcount": True} if overcounted else {}),
         "batch": batch, "n_batches": n_batches,
         "epoch_ms": dt * 1e3, "step_us": dt / n_batches * 1e6,
         "mflop_per_step": flops / 1e6, "mbytes_per_step": bts / 1e6,
@@ -595,6 +599,11 @@ def cmd_encoder(args):
         "fused": dict(fused=True),
         "fused_doubling": dict(fused=True, impl="doubling"),
         "embed_bf16": dict(embed_dtype=jnp.bfloat16),
+        # cut the VPU trig (doubling) AND halve the embed HBM traffic
+        # (bf16 storage) while KEEPING XLA's full-width contraction — the
+        # overlapped-resources hypothesis says each alone is a wash because
+        # the other is the floor; this removes both at once
+        "doubling_bf16": dict(impl="doubling", embed_dtype=jnp.bfloat16),
     }
     for batch, n_batches in batch_plan(args.batches, args.n_batches):
         row = {}
@@ -1075,7 +1084,8 @@ def main(argv=None):
                    default=["direct", "nharm0", "doubling", "fused",
                             "fused_doubling"],
                    choices=["direct", "nharm0", "doubling", "fused",
-                            "fused_doubling", "precomputed", "embed_bf16"])
+                            "fused_doubling", "precomputed", "embed_bf16",
+                            "doubling_bf16"])
 
     add("fused-in-scan", cmd_fused_in_scan, batches=[50, 512])
 
