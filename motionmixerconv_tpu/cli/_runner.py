@@ -78,6 +78,9 @@ def build_conv_mixer(args, dim_in: int, dim_out: int, in_ntp: int, out_ntp: int)
         encoder_omega0=getattr(args, "encoder_omega0", 0.1),
         encoder_fused=getattr(args, "fused_encoder", False),
         encoder_harmonic_impl=getattr(args, "harmonic_impl", "direct"),
+        encoder_embed_dtype=(
+            jnp.bfloat16
+            if getattr(args, "embed_dtype", "f32") == "bf16" else None),
     )
 
 

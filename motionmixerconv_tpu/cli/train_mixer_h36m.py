@@ -79,6 +79,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "traffic) — kept as the reproduction of "
                              "DESIGN.md §6's adjudication, "
                              "tools/probe.py encoder")
+    parser.add_argument("--embed_dtype", default="f32",
+                        choices=("f32", "bf16"),
+                        help="storage dtype of the MATERIALIZED harmonic "
+                             "embedding (the step's dominant HBM tensor). "
+                             "'bf16' halves that traffic at ~3 decimal "
+                             "digits on the O(1) sin/cos features; params "
+                             "and all other compute stay f32. Measured by "
+                             "tools/probe.py encoder --variants embed_bf16")
     return parser
 
 
