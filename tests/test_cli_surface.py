@@ -93,3 +93,26 @@ def test_pretrained_eval_defaults():
     assert test_mixer_h36m.EVAL_FRAMES == [1, 3, 7, 9, 13, 17, 21, 24]
     assert test_mixer_h36m.IDX_EVAL == 7
     assert a.delta_x is True
+
+
+def test_h36m_extension_flags_reach_the_model():
+    """The TPU-side extension flags (--fused_encoder, --harmonic_impl,
+    --embed_dtype) must thread through build_conv_mixer, not just parse."""
+    import jax.numpy as jnp
+
+    from motionmixerconv_tpu.cli._runner import build_conv_mixer
+
+    a = train_mixer_h36m.parse_args(
+        ["--loss_type", "mpjpe", "--fused_encoder",
+         "--harmonic_impl", "doubling", "--embed_dtype", "bf16"])
+    m = build_conv_mixer(a, dim_in=66, dim_out=66, in_ntp=10, out_ntp=25)
+    assert m.encoder_fused is True
+    assert m.encoder_harmonic_impl == "doubling"
+    assert m.encoder_embed_dtype == jnp.bfloat16
+    # defaults: all three off
+    d = build_conv_mixer(
+        train_mixer_h36m.parse_args(["--loss_type", "mpjpe"]),
+        dim_in=66, dim_out=66, in_ntp=10, out_ntp=25)
+    assert d.encoder_fused is False
+    assert d.encoder_harmonic_impl == "direct"
+    assert d.encoder_embed_dtype is None
