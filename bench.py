@@ -323,12 +323,23 @@ def measure_jax() -> tuple[dict, str]:
     n_windows = N_FRAMES - seq_len
     out = {}
 
-    def scan_config(name, trainer, batch, n_batches, step_impl, epoch_impl):
+    def scan_config(name, trainer, batch, n_batches, step_impl, epoch_impl,
+                    strict_bytes=True):
         """Honest scan-epoch throughput: per-rep-synced median + true FLOPs.
 
         ``step_impl``/``epoch_impl`` are the UNJITTED impl fns; they are
         re-jitted here WITHOUT donation so the same state can be reused
         across reps.
+
+        ``strict_bytes=False`` downgrades an HBM-roof breach to a
+        ``bytes_model_overcount`` annotation (hbm_frac suppressed). Used
+        only where the overcount is PROVEN: for the unrolled-rollout AR
+        config, cost_analysis reports 9.77 GB/step — the step-program and
+        epoch-body counts agree to 0.1%, the per-rep-synced step time
+        (7.31 ms) exactly reproduces the r3 measurement, and 9.77 GB is
+        1.6x more than the 819 GB/s roof could move in that time, so the
+        count provably includes fused VMEM traffic that never touches HBM
+        (measured r4, tools/probe.py ar). FLOP gates always stay hard.
         """
         state = trainer.init_state(jax.random.PRNGKey(0))
         starts1 = jnp.asarray(rs.randint(0, n_windows, batch).astype(np.int32))
@@ -346,16 +357,19 @@ def measure_jax() -> tuple[dict, str]:
         flops_per_s = flops_step * n_batches / t["median_s"]
         bytes_per_s = bytes_step * n_batches / t["median_s"]
         dtype = jax.tree_util.tree_leaves(state.params)[0].dtype
-        check_physical_ceilings(
+        overcounted = check_physical_ceilings(
             name, device_kind=kind, dtype=dtype,
             flops_per_s=flops_per_s, bytes_per_s=bytes_per_s,
+            strict_bytes=strict_bytes,
         )
         peak = peak_flops_for(kind, dtype)
         roof_b = PEAK_BYTES.get(kind)
         return {
+            **({"bytes_model_overcount": True} if overcounted else {}),
             "tput": tput,
             "mfu": (flops_per_s / peak) if peak else None,
-            "hbm_frac": (bytes_per_s / roof_b) if roof_b else None,
+            "hbm_frac": (bytes_per_s / roof_b
+                         if roof_b and not overcounted else None),
             "flops_per_step": flops_step,
             "bytes_per_step": bytes_step,
             "gbytes_per_s": bytes_per_s / 1e9,
@@ -400,6 +414,8 @@ def measure_jax() -> tuple[dict, str]:
         "h36m_autoreg_b50", ar, 50, 100,
         lambda s, f, st, ww: ar._ar_train_impl(s, f, st, ww, False),
         lambda s, f, st, ww: ar._ar_epoch_scan_impl(s, f, st, ww, False),
+        # proven byte-model overcount for the unrolled rollout (docstring)
+        strict_bytes=False,
     )
 
     # full-epoch wall-clock: scanned train epoch + scanned val + grouped
@@ -617,6 +633,8 @@ def main():
             "mfu": round(o["mfu"], 5) if o.get("mfu") else None,
             "gb_per_s": round(o["gbytes_per_s"], 1),
             "hbm_frac": round(o["hbm_frac"], 3) if o.get("hbm_frac") else None,
+            **({"bytes_model_overcount": True}
+               if o.get("bytes_model_overcount") else {}),
             "per_step_us": round(o["per_step_us"], 1),
             "spread": spread(o["timing"]),
             "baseline_seq_per_s": round(b, 1) if b else None,
