@@ -805,12 +805,17 @@ def cmd_ar(args):
                reps=args.reps)
     kind = device_kind()
     dtype = jax.tree_util.tree_leaves(state.params)[0].dtype
-    check_physical_ceilings(
+    overcounted = check_physical_ceilings(
         "ar", device_kind=kind, dtype=dtype,
         flops_per_s=flops * n_batches / dt,
-        bytes_per_s=bts * n_batches / dt)
+        bytes_per_s=bts * n_batches / dt,
+        # the unrolled rollout's byte model provably overcounts fused VMEM
+        # traffic (9.77 GB/step > the roof could move in its honest 7.31 ms;
+        # bench.py scan_config docstring) — annotate instead of raising
+        strict_bytes=False)
     peak = peak_flops_for(kind, dtype)
     results = {
+        **({"bytes_model_overcount": True} if overcounted else {}),
         "device": kind,
         "tput_seq_per_s": n_batches * batch / dt,
         "per_step_us": dt / n_batches * 1e6,
