@@ -448,6 +448,11 @@ def measure_jax() -> tuple[dict, str]:
     ts = []
     for rep in range(3):
         state = tr.init_state(jax.random.PRNGKey(2 + rep))
+        # flax init is EAGER (hundreds of small dispatches on the tunneled
+        # runtime); block here so its queue backlog drains before t0 —
+        # unblocked, it serializes in front of the epoch and inflates the
+        # measurement ~6x (measured r4: 1.32 s vs 0.19 s/epoch)
+        jax.block_until_ready(state.params)
         t0 = time.perf_counter()
         epoch(state)
         ts.append(time.perf_counter() - t0)
