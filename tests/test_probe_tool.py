@@ -76,6 +76,19 @@ def test_decomp_smoke_accounts_full_step():
     assert row["forward_detail"]["trig_only"]["us"] > 0
 
 
+def test_amass_smoke_accounts_full_step():
+    _run(["amass", *TINY, "--batches", "16", "--controls"])
+    art = _artifact("amass")
+    row = art["b16"]
+    phases = row["phases"]
+    assert list(phases) == ["gather", "fwd", "grad", "optimizer"]
+    total_excl = sum(p["excl_us"] for p in phases.values())
+    assert abs(total_excl - row["full"]["step_us"]) < 1e-6
+    assert row["full"]["mflop_per_step"] > 0
+    for c in ("blocks1", "hidden512", "no_se", "bf16"):
+        assert row["controls"][c]["step_us"] > 0
+
+
 @pytest.mark.slow
 def test_encoder_smoke():
     _run(["encoder", *TINY, "--batches", "16",

@@ -21,6 +21,9 @@ Subcommands (→ the perf_probe scripts they subsume):
   decomp         per-phase time/byte decomposition of the flagship train
                  step with per-phase achieved GB/s — the instrument for the
                  b2048 bandwidth-gap question (ex perf_probe2/3.py)
+  amass          AMASS MlpMixer batch scaling + phase decomposition +
+                 shape controls (blocks/width/SE/dtype) — the instrument
+                 for the amass_mlp_b200 roof-standing question (new r4)
   encoder        full train step under each encoder mechanism: direct /
                  doubling / fused / fused+doubling / nharm0 / precomputed
                  (ex perf_probe4/6/13/14.py)
@@ -254,6 +257,110 @@ def cmd_roofline(args):
 # --------------------------------------------------------------- decomp
 
 
+def _phase_decomp(tr, frames, batch, n_batches, rs, reps, peak_b,
+                  name="decomp"):
+    """Telescoping per-phase decomposition of ONE trainer's scan step in
+    time AND bytes with per-phase achieved GB/s. Phases telescope
+    (gather ⊂ fwd ⊂ grad ⊂ full), so the attribution covers 100% of the
+    full step by construction; each phase's exclusive time/bytes are the
+    deltas. Shared by `decomp` (flagship ConvMixer) and `amass`
+    (MlpMixer) — any Trainer with the standard _prepare/_forward surface
+    works."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionmixerconv_tpu.data.windows import gather_windows
+    from motionmixerconv_tpu.train.loop import _per_sample_mpjpe, _wmean
+
+    n_windows = frames.shape[0] - SEQ_LEN
+    state = tr.init_state(jax.random.PRNGKey(0))
+    variables = state.variables()
+    starts1, w1, starts, w = starts_for(rs, n_windows, n_batches, batch)
+
+    def body_gather(c, s, wv):
+        b = gather_windows(frames, s, SEQ_LEN)
+        mi, gt, _ = tr._prepare(b)
+        return c, mi.sum() + gt.sum()
+
+    def body_fwd(v, s, wv):
+        b = gather_windows(frames, s, SEQ_LEN)
+        mi, gt, _ = tr._prepare(b)
+        pred, _ = tr._forward(v, mi, training=False)
+        return v, _wmean(_per_sample_mpjpe(pred, gt), wv)
+
+    def body_grad(st, s, wv):
+        b = gather_windows(frames, s, SEQ_LEN)
+        mi, gt, _ = tr._prepare(b)
+
+        def loss_fn(params):
+            pred = tr.model.apply(
+                {"params": params}, mi, training=True,
+                rngs={"dropout": st.rng},
+            ).astype(jnp.float32)
+            return _wmean(_per_sample_mpjpe(pred, gt), wv)
+
+        loss, grads = jax.value_and_grad(loss_fn)(st.params)
+        gsum = jax.tree_util.tree_reduce(
+            lambda a, g: a + g.sum(), grads, 0.0)
+        return st, loss + 0.0 * gsum
+
+    def make_pair(body, carry):
+        step = jax.jit(lambda c, s, wv: body(c, s, wv)[1])
+
+        @jax.jit
+        def epoch(c, st, ww):
+            def f(cc, sw):
+                return body(cc, *sw)
+
+            _, out = jax.lax.scan(f, c, (st, ww))
+            return out.sum()
+
+        return step, epoch, carry
+
+    phases = [
+        ("gather", *make_pair(body_gather, 0.0)),
+        ("fwd", *make_pair(body_fwd, variables)),
+        ("grad", *make_pair(body_grad, state)),
+    ]
+    row = {"n_batches": n_batches, "phases": {}}
+    prev_t, prev_b = 0.0, 0.0
+    for pname, step, epoch, carry in phases:
+        flops, bts = step_cost(step, carry, starts1, w1)
+        dt = timed(epoch, carry, starts, w, reps=reps)
+        t_us = dt / n_batches * 1e6
+        d_t, d_b = t_us - prev_t, bts - prev_b
+        gbs = d_b / (d_t * 1e-6) / 1e9 if d_t > 0 else float("nan")
+        row["phases"][pname] = {
+            "cum_us": t_us, "excl_us": d_t,
+            "cum_mbytes": bts / 1e6, "excl_mbytes": d_b / 1e6,
+            "excl_gbytes_s": gbs,
+        }
+        prev_t, prev_b = t_us, bts
+
+    # full step via the production impls (includes optimizer + decay)
+    full = _measure_scan_config(tr, frames, batch, n_batches, rs,
+                                reps, name=f"{name} full b{batch}")
+    d_t = full["step_us"] - prev_t
+    d_b = full["mbytes_per_step"] * 1e6 - prev_b
+    row["phases"]["optimizer"] = {
+        "cum_us": full["step_us"], "excl_us": d_t,
+        "cum_mbytes": full["mbytes_per_step"],
+        "excl_mbytes": d_b / 1e6,
+        "excl_gbytes_s": (d_b / (d_t * 1e-6) / 1e9 if d_t > 0
+                          else float("nan")),
+    }
+    row["full"] = full
+    bp = (f"{full['gbytes_s'] * 1e9 / peak_b * 100:.1f}%"
+          if peak_b else "?")
+    log(f"\nB={batch}: full {full['step_us']:.0f} us/step, "
+        f"{full['gbytes_s']:.0f} GB/s achieved ({bp} of roof)")
+    for pname, p in row["phases"].items():
+        log(f"  {pname:>9}: excl {p['excl_us']:7.1f} us  "
+            f"{p['excl_mbytes']:8.1f} MB  -> {p['excl_gbytes_s']:6.1f} "
+            f"GB/s   (cum {p['cum_us']:.0f} us)")
+    return row
+
+
 def cmd_decomp(args):
     """Cumulative-phase decomposition of the flagship train step, in time
     AND bytes, with per-phase achieved GB/s — attributes the achieved-
@@ -263,108 +370,24 @@ def cmd_decomp(args):
     deltas. --forward-detail splits the forward into trig / embed-matmul /
     encoder / mixer-only. --controls adds nharm0, doubling, and bf16 full
     steps (different traffic mixes triangulate the cause)."""
-    import jax
     import jax.numpy as jnp
 
     from motionmixerconv_tpu.data.constants import H36M_DIM_USED_XYZ
-    from motionmixerconv_tpu.data.windows import gather_windows
-    from motionmixerconv_tpu.train.loop import _per_sample_mpjpe, _wmean
 
     kind = device_kind()
     peak_b = PEAK_BYTES.get(kind)
     frames = make_frames(args.n_frames)
-    n_windows = frames.shape[0] - SEQ_LEN
     rs = np.random.RandomState(0)
     results = {"device": kind}
     dims = jnp.asarray(H36M_DIM_USED_XYZ)
 
     for batch, n_batches in batch_plan(args.batches, args.n_batches):
         tr = flagship_trainer()
-        state = tr.init_state(jax.random.PRNGKey(0))
-        variables = state.variables()
-        starts1, w1, starts, w = starts_for(rs, n_windows, n_batches, batch)
-
-        def body_gather(c, s, wv):
-            b = gather_windows(frames, s, SEQ_LEN)
-            mi, gt, _ = tr._prepare(b)
-            return c, mi.sum() + gt.sum()
-
-        def body_fwd(v, s, wv):
-            b = gather_windows(frames, s, SEQ_LEN)
-            mi, gt, _ = tr._prepare(b)
-            pred, _ = tr._forward(v, mi, training=False)
-            return v, _wmean(_per_sample_mpjpe(pred, gt), wv)
-
-        def body_grad(st, s, wv):
-            b = gather_windows(frames, s, SEQ_LEN)
-            mi, gt, _ = tr._prepare(b)
-
-            def loss_fn(params):
-                pred = tr.model.apply(
-                    {"params": params}, mi, training=True,
-                    rngs={"dropout": st.rng},
-                ).astype(jnp.float32)
-                return _wmean(_per_sample_mpjpe(pred, gt), wv)
-
-            loss, grads = jax.value_and_grad(loss_fn)(st.params)
-            gsum = jax.tree_util.tree_reduce(
-                lambda a, g: a + g.sum(), grads, 0.0)
-            return st, loss + 0.0 * gsum
-
-        def make_pair(body, carry):
-            step = jax.jit(lambda c, s, wv: body(c, s, wv)[1])
-
-            @jax.jit
-            def epoch(c, st, ww):
-                def f(cc, sw):
-                    return body(cc, *sw)
-
-                _, out = jax.lax.scan(f, c, (st, ww))
-                return out.sum()
-
-            return step, epoch, carry
-
-        phases = [
-            ("gather", *make_pair(body_gather, 0.0)),
-            ("fwd", *make_pair(body_fwd, variables)),
-            ("grad", *make_pair(body_grad, state)),
-        ]
-        row = {"n_batches": n_batches, "phases": {}}
-        prev_t, prev_b = 0.0, 0.0
-        for pname, step, epoch, carry in phases:
-            flops, bts = step_cost(step, carry, starts1, w1)
-            dt = timed(epoch, carry, starts, w, reps=args.reps)
-            t_us = dt / n_batches * 1e6
-            d_t, d_b = t_us - prev_t, bts - prev_b
-            gbs = d_b / (d_t * 1e-6) / 1e9 if d_t > 0 else float("nan")
-            row["phases"][pname] = {
-                "cum_us": t_us, "excl_us": d_t,
-                "cum_mbytes": bts / 1e6, "excl_mbytes": d_b / 1e6,
-                "excl_gbytes_s": gbs,
-            }
-            prev_t, prev_b = t_us, bts
-
-        # full step via the production impls (includes optimizer + decay)
-        full = _measure_scan_config(tr, frames, batch, n_batches, rs,
-                                    args.reps, name=f"decomp full b{batch}")
-        d_t = full["step_us"] - prev_t
-        d_b = full["mbytes_per_step"] * 1e6 - prev_b
-        row["phases"]["optimizer"] = {
-            "cum_us": full["step_us"], "excl_us": d_t,
-            "cum_mbytes": full["mbytes_per_step"],
-            "excl_mbytes": d_b / 1e6,
-            "excl_gbytes_s": (d_b / (d_t * 1e-6) / 1e9 if d_t > 0
-                              else float("nan")),
-        }
-        row["full"] = full
-        bp = (f"{full['gbytes_s'] * 1e9 / peak_b * 100:.1f}%"
-              if peak_b else "?")
-        log(f"\nB={batch}: full {full['step_us']:.0f} us/step, "
-            f"{full['gbytes_s']:.0f} GB/s achieved ({bp} of roof)")
-        for pname, p in row["phases"].items():
-            log(f"  {pname:>9}: excl {p['excl_us']:7.1f} us  "
-                f"{p['excl_mbytes']:8.1f} MB  -> {p['excl_gbytes_s']:6.1f} "
-                f"GB/s   (cum {p['cum_us']:.0f} us)")
+        row = _phase_decomp(tr, frames, batch, n_batches, rs, args.reps,
+                            peak_b, name="decomp")
+        starts1, w1, starts, w = starts_for(
+            np.random.RandomState(0), frames.shape[0] - SEQ_LEN,
+            n_batches, batch)
 
         if args.forward_detail:
             det = _forward_detail(tr, frames, dims, starts1, w1, starts, w,
@@ -461,6 +484,77 @@ def _forward_detail(tr, frames, dims, starts1, w1, starts, w, batch,
         out[name] = {"us": us, "mbytes": bts / 1e6,
                      "gbytes_s": bts / (dt / n_batches) / 1e9}
     return out
+
+
+# ---------------------------------------------------------------- amass
+
+
+def amass_trainer(**overrides):
+    """The bench AMASS MlpMixer config (bench.MLP_KW = the reference's
+    train_mixer_amass.py:235-246 CLI defaults) with shape knobs."""
+    from motionmixerconv_tpu.models import MlpMixer
+    from motionmixerconv_tpu.train import Trainer, make_optimizer
+
+    kw = dict(bench.MLP_KW)
+    kw.update(overrides)
+    model = MlpMixer(**kw)
+    return Trainer(
+        model, make_optimizer(lr=1e-3, steps_per_epoch=100),
+        loss_type="mpjpe", dim_used=np.arange(12, 66),
+        input_n=INPUT_N, output_n=OUTPUT_N, input_scale=1.0,
+        loss_scale=1000.0,
+    )
+
+
+def cmd_amass(args):
+    """AMASS MlpMixer (bench amass_mlp_b200) perf attribution: batch
+    scaling vs the roofs + the telescoping phase decomposition shared with
+    `decomp`, plus shape controls — the instrument for the one DESIGN §6
+    row whose roof standing was not yet attributed (r4). Controls
+    (--controls): blocks1 (1 mixer block instead of 5 — per-block serial
+    cost), hidden512 (4x wider channel dim — FLOP headroom), no_se
+    (drop the squeeze-excite reduction chains), bf16 (params+activations
+    half-width)."""
+    import jax.numpy as jnp
+
+    kind = device_kind()
+    peak_b = PEAK_BYTES.get(kind)
+    peak_f = peak_flops_for(kind, "float32")
+    log(f"device: {kind}  (f32 peak "
+        f"{(peak_f or float('nan')) / 1e12:.0f} TF/s, HBM "
+        f"{(peak_b or float('nan')) / 1e9:.0f} GB/s)")
+    frames = make_frames(args.n_frames)
+    rs = np.random.RandomState(0)
+    results = {"device": kind}
+
+    for batch, n_batches in batch_plan(args.batches, args.n_batches):
+        row = _phase_decomp(amass_trainer(), frames, batch, n_batches, rs,
+                            args.reps, peak_b, name="amass")
+        full = row["full"]
+        fp = (f"{full['tflops'] * 1e12 / peak_f * 100:5.2f}%"
+              if peak_f else "?")
+        log(f"  roofline: {full['tflops']:.2f} TF/s ({fp} f32 peak)  "
+            f"{full['seq_per_s'] / 1e3:7.1f} k seq/s")
+
+        if args.controls:
+            ctl = {}
+            for cname, kw in (
+                ("blocks1", dict(num_blocks=1)),
+                ("hidden512", dict(hidden_dim=512)),
+                ("no_se", dict(use_se=False)),
+                ("bf16", dict(dtype=jnp.bfloat16)),
+            ):
+                c = _measure_scan_config(
+                    amass_trainer(**kw), frames, batch, n_batches, rs,
+                    args.reps, name=f"amass {cname} b{batch}")
+                ctl[cname] = c
+                log(f"  control {cname:>9}: {c['step_us']:7.0f} us/step  "
+                    f"{c['gbytes_s']:6.1f} GB/s  {c['tflops']:.2f} TF/s  "
+                    f"({c['seq_per_s'] / 1e3:.1f} k seq/s)")
+            row["controls"] = ctl
+
+        results[f"b{batch}"] = row
+    write_json("amass", results)
 
 
 # ---------------------------------------------------------------- gather
@@ -1072,6 +1166,9 @@ def main(argv=None):
 
     p = add("decomp", cmd_decomp)
     p.add_argument("--forward-detail", action="store_true")
+    p.add_argument("--controls", action="store_true")
+
+    p = add("amass", cmd_amass, batches=[200, 1024, 4096])
     p.add_argument("--controls", action="store_true")
 
     p = add("gather", cmd_gather)
