@@ -139,7 +139,7 @@ ARCH_META_KEYS = (
     "regularization", "r_se", "delta_x", "model_type", "loss_type",
     "conv_nChan", "conv1_kernel_shape", "mode_conv",
     "encoder_n_harmonic_functions", "encoder_omega0", "fused_encoder",
-    "harmonic_impl",
+    "harmonic_impl", "embed_dtype",
 )
 
 

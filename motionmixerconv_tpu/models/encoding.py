@@ -113,6 +113,17 @@ class PoseEncoder(nn.Module):
                 "fused=True is f32-only (the Pallas harmonic kernel "
                 "accumulates in f32); drop dtype or drop fused"
             )
+        if (self.embed_dtype is not None and self.n_harmonic_functions > 0
+                and (self.fused or self.precomputed)):
+            # would otherwise be a SILENT no-op: the fused kernel never
+            # materializes the embedding, and the corpus cache's dtype is
+            # fixed when Trainer.precompute_embed builds it
+            raise ValueError(
+                "embed_dtype only applies to the per-step materialized "
+                "harmonic embedding; it has no effect under fused=True "
+                "(nothing is materialized) or precomputed=True (the cache "
+                "dtype is set at precompute time) — drop one of the flags"
+            )
         if self.n_harmonic_functions <= 0:
             dim_harmonic = self.dimPosIn
         else:

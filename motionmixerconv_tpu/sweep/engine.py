@@ -433,9 +433,18 @@ class Study:
                 # an unrecorded crash would make max+1 skip this grid point
                 self._record(trial, "FAIL", None)
                 raise
-            values = (list(result) if isinstance(result, (tuple, list))
-                      else [result])
-            self._record(trial, "COMPLETE", [float(v) for v in values])
+            try:
+                values = (list(result) if isinstance(result, (tuple, list))
+                          else [result])
+                values = [float(v) for v in values]
+            except BaseException:
+                # a non-numeric objective return (None, str, ...) is an
+                # uncaught objective error too: record FAIL before
+                # propagating, or a sqlite resume's max+1 would skip this
+                # grid point forever (same invariant as the except above)
+                self._record(trial, "FAIL", None)
+                raise
+            self._record(trial, "COMPLETE", values)
 
         if n_jobs is None or n_jobs == 1:
             while (trial := next_trial()) is not None:

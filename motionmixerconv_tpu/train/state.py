@@ -56,6 +56,12 @@ def save_checkpoint(path: str, state: TrainState, epoch: int,
         payload["meta"] = dict(meta)
     with open(path, "wb") as f:
         pickle.dump(payload, f)
+    # drop the read cache: a same-size rewrite within the filesystem's
+    # mtime granularity would otherwise collide with the old cache key and
+    # serve the PREVIOUS epoch's payload to an in-process save->load cycle
+    # (e.g. a per-epoch drift callback reading the ckpt it just wrote)
+    global _payload_cache
+    _payload_cache = None
 
 
 _payload_cache: tuple | None = None  # ((abspath, mtime_ns, size), payload)

@@ -128,6 +128,11 @@ def main(argv=None):
     ap.add_argument("--actions", nargs="*", default=None)
     ap.add_argument("--max_gifs", type=int, default=3)
     args = ap.parse_args(argv)
+    if bool(args.checkpoint) != bool(args.data_dir):
+        ap.error("--checkpoint and --data_dir must be given together")
+    if not args.checkpoint and not args.study_dir:
+        ap.error("nothing to do: pass --checkpoint + --data_dir for "
+                 "galleries and/or --study_dir for study tables")
     if args.checkpoint and args.data_dir:
         h36m_galleries(args.checkpoint, args.data_dir, args.out,
                        actions=args.actions, max_gifs=args.max_gifs)

@@ -7,6 +7,22 @@ import pytest
 from motionmixerconv_tpu.data import fixtures
 
 
+def test_cli_rejects_no_action_and_half_pairs(tmp_path):
+    """mmc-galleries must not silently succeed doing nothing: no action
+    selected, or --checkpoint without --data_dir (and vice versa), exits
+    non-zero with a usage error instead of printing nothing and rc 0."""
+    from motionmixerconv_tpu.viz.galleries import main
+
+    for argv in (
+        ["--out", str(tmp_path)],
+        ["--checkpoint", "x.ckpt", "--out", str(tmp_path)],
+        ["--data_dir", "d", "--out", str(tmp_path)],
+    ):
+        with pytest.raises(SystemExit) as e:
+            main(argv)
+        assert e.value.code == 2
+
+
 @pytest.mark.slow
 def test_h36m_galleries_smoke(tmp_path):
     """Train 1 tiny epoch through the real CLI runner, then rebuild the

@@ -364,6 +364,25 @@ class TestDoublingHarmonics:
         with pytest.raises(ValueError, match="doubling"):
             enc.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 6)))
 
+    def test_embed_dtype_incompatible_with_fused_and_precomputed(self):
+        """embed_dtype casts the MATERIALIZED embedding; under fused
+        (nothing materialized) or precomputed (cache dtype fixed at
+        precompute time) it would be a silent no-op — must raise like
+        every other incompatible encoder combination."""
+        import jax
+
+        from motionmixerconv_tpu.models.encoding import PoseEncoder
+
+        for kw in (dict(fused=True), dict(precomputed=True)):
+            enc = PoseEncoder(dimPosIn=6, dimPosEmb=8, conv_nChan=1,
+                              n_harmonic_functions=4, omega0=0.1,
+                              embed_dtype=jnp.bfloat16, **kw)
+            x = jnp.zeros(
+                (2, 10, 2 * 4 * 6 if kw.get("precomputed") else 6),
+                jnp.float32)
+            with pytest.raises(ValueError, match="embed_dtype only"):
+                enc.init(jax.random.PRNGKey(0), x)
+
     def test_trains_like_direct(self):
         """Same init, same data: 20 train steps with each impl reach the
         same loss to a few percent (the impls differ only in the f32-noise

@@ -6,9 +6,10 @@ port objectives against. The reference studies don't prune (they run
 fixed-epoch trials), so this pins the native engine's semantics against
 optuna's documented MedianPruner behavior: no pruning before
 n_startup_trials COMPLETE trials, warmup steps exempt, prune when the
-trial's running-best intermediate is worse than the median of completed
-trials' running bests up to the same step (both sides use running bests,
-so non-monotone curves are judged by their best point). Intermediate
+trial's running-best intermediate up to step s is worse than the median of
+completed trials' values AT exactly step s (optuna's asymmetry: running
+best for the current trial only — see engine.MedianPruner and
+test_peers_judged_at_exact_step). Intermediate
 values persist to sqlite and export into optuna's
 trial_intermediate_values (schema-12) table.
 """

@@ -100,6 +100,21 @@ class TestNJobsStorageAndErrors:
         # optuna records the crashed trial as FAIL before raising
         assert [t.state for t in study.trials] == ["FAIL"]
 
+    def test_non_numeric_return_recorded_as_fail(self):
+        """A None/str objective return crashes at float() AFTER the
+        except blocks — it must still be recorded as FAIL before
+        propagating, or a sqlite resume's max+1 numbering would skip the
+        grid point (the same invariant as an in-objective crash)."""
+        study = Study("nn", sampler=RandomSampler(seed=0))
+
+        def objective(trial):
+            trial.suggest_int("n", 0, 9)
+            return None  # forgot the return value
+
+        with pytest.raises(TypeError):
+            study.optimize(objective, n_trials=4)
+        assert [t.state for t in study.trials] == ["FAIL"]
+
     def test_uncaught_error_propagates_from_workers(self):
         study = Study("uw", sampler=RandomSampler(seed=0))
 

@@ -169,6 +169,23 @@ class TestPretrainedEval:
         avg, final = tm.test_pretrained(model, variables, args)
         assert np.isfinite(avg) and np.isfinite(final)
 
+    def test_eval_meta_threads_embed_dtype(self):
+        """embed_dtype is an eval-semantics key: a checkpoint trained with
+        --embed_dtype bf16 must rebuild with the bf16 embed storage, or the
+        reported metric measures a different numeric path than the model
+        serving deploys for the same checkpoint."""
+        import jax.numpy as jnp
+
+        from motionmixerconv_tpu.cli import test_mixer_h36m as tm
+        from motionmixerconv_tpu.cli._runner import build_conv_mixer
+
+        assert "embed_dtype" in tm.ARCH_META_KEYS
+        args = tm.parse_args(
+            ["--model_path", "x.ckpt"],
+            meta={"embed_dtype": "bf16", "model_type": "conv"})
+        model = build_conv_mixer(args, 66, 66, 10, 25)
+        assert model.encoder_embed_dtype == jnp.bfloat16
+
     def test_eval_autofills_arch_from_ckpt_meta(self, tmp_path):
         """A bare --model_path evaluates a non-default trained config: the
         architecture resolves from the checkpoint's stored training args

@@ -93,6 +93,35 @@ class TestTrainingLoop:
         s2, l2 = tr.train_epoch(restored, ds, frames, 32, seed=9)
         assert l1 == pytest.approx(l2, rel=1e-6)
 
+    def test_checkpoint_rewrite_never_served_stale(self, h36m_dir, tmp_path):
+        """save_checkpoint must drop the one-entry read cache: a same-size
+        rewrite inside the filesystem's mtime granularity collides with the
+        old (path, mtime_ns, size) key and would serve the PREVIOUS epoch's
+        payload (in-process save->load cycles, e.g. a per-epoch drift
+        callback). The mtime collision is forced with os.utime."""
+        import os
+
+        ds = H36MDataset(h36m_dir, 10, 10, 5, actions=["walking"], split=0)
+        frames = jnp.asarray(ds.frames)
+        tr = _trainer()
+        state = tr.init_state(jax.random.PRNGKey(0))
+        path = str(tmp_path / "ckpt.msgpack")
+        save_checkpoint(path, state, epoch=1)
+        template = tr.init_state(jax.random.PRNGKey(1))
+        _, epoch = restore_checkpoint(path, template)  # warm the cache
+        assert epoch == 1
+        st = os.stat(path)
+        state, _ = tr.train_epoch(state, ds, frames, 32, seed=0)
+        save_checkpoint(path, state, epoch=2)
+        # force the worst case: identical size + identical mtime_ns
+        assert os.stat(path).st_size == st.st_size
+        os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns))
+        restored, epoch = restore_checkpoint(path, template)
+        assert epoch == 2
+        np.testing.assert_array_equal(
+            jax.tree_util.tree_leaves(state.params)[0],
+            jax.tree_util.tree_leaves(restored.params)[0])
+
     def test_prefetch_epoch_equivalence(self, h36m_dir):
         """The prefetch-pipelined epoch scan (gather for step i+1 issued
         during step i's compute) is numerically identical to the plain scan:

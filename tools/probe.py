@@ -24,6 +24,9 @@ Subcommands (→ the perf_probe scripts they subsume):
   amass          AMASS MlpMixer batch scaling + phase decomposition +
                  shape controls (blocks/width/SE/dtype) — the instrument
                  for the amass_mlp_b200 roof-standing question (new r4)
+  gather         window-gather formulations standalone + inside the full
+                 train step (row/take/pad128/dslice/flat + prefetch) —
+                 the b2048 gather instrument (DESIGN §6 attack A)
   encoder        full train step under each encoder mechanism: direct /
                  doubling / fused / fused+doubling / nharm0 / precomputed
                  (ex perf_probe4/6/13/14.py)
@@ -101,17 +104,10 @@ def timed(fn, *args, reps=5, warmup=2) -> float:
     return float(np.median(ts))
 
 
-def step_cost(jitted, *args) -> tuple[float, float]:
-    """(FLOPs, bytes accessed) of ONE execution, from XLA cost_analysis."""
-    try:
-        ca = jitted.lower(*args).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        if not ca:
-            return 0.0, 0.0
-        return (float(ca.get("flops", 0.0)),
-                float(ca.get("bytes accessed", 0.0)))
-    except Exception:
-        return 0.0, 0.0
+# one source for the cost_analysis extraction: a future fix to the
+# FLOP/byte key handling must land in bench and probe at once, or the two
+# sets of numbers silently diverge
+step_cost = bench._step_cost
 
 
 def make_frames(n_frames: int, seed: int = 0):
