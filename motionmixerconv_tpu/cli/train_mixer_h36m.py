@@ -73,12 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "'doubling' = normalized angle-doubling "
                              "recurrence (one transcendental pair; equal "
                              "to 'direct' within each method's own f32 "
-                             "precision, not bit-identical). Measured a "
-                             "WASH on the flagship step (the trig it "
-                             "removes is hidden behind the same HBM "
-                             "traffic) — kept as the reproduction of "
-                             "DESIGN.md §6's adjudication, "
-                             "tools/probe.py encoder")
+                             "precision, not bit-identical). The measured "
+                             "large-batch fast path: +4.6% at batch 2048, "
+                             "a wash at 512, -11% at the default 50 — so "
+                             "'direct' stays the default (DESIGN.md §6 "
+                             "attack C, tools/probe.py encoder)")
     parser.add_argument("--embed_dtype", default="f32",
                         choices=("f32", "bf16"),
                         help="storage dtype of the MATERIALIZED harmonic "
