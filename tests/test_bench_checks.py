@@ -189,8 +189,55 @@ class TestSkipRecord:
         rec = json.loads(r.stdout.decode().strip().splitlines()[-1])
         assert "skipped" not in rec
         assert rec["device"] == "fake"
+        # no h36m_conv_b2048_dbl in the record: the parent tolerates the
+        # optional config's absence and the flagship is the defaults row
         assert rec["value"] == 1000.0
+        assert "defaults" in rec["unit"]
         assert len(rec["configs"]) == 7
+
+    def test_flagship_picks_fastest_b2048_variant(self, tmp_path):
+        """When the doubling-encoder config is present AND faster, the
+        headline picks it, names the impl in the unit, and scores it
+        against the shared h36m_conv_b2048 torch baseline."""
+        fake = tmp_path / "fake_child.py"
+        row = {"tput": 1000.0, "mfu": 0.01, "hbm_frac": 0.5,
+               "flops_per_step": 1e6, "bytes_per_step": 1e6,
+               "gbytes_per_s": 100.0, "per_step_us": 100.0,
+               "timing": {"median_s": 0.1, "min_s": 0.1, "max_s": 0.1,
+                          "reps": 3}}
+        ours = {k: dict(row)
+                for k in ("h36m_conv_b50", "h36m_conv_b512",
+                          "h36m_conv_b2048", "h36m_conv_b2048_dbl",
+                          "amass_mlp_b200", "h36m_autoreg_b50")}
+        ours["h36m_conv_b2048_dbl"]["tput"] = 1046.0
+        ours["h36m_full_epoch_s"] = {"wall_s": 1.0, "min_s": 1.0,
+                                     "max_s": 1.0}
+        ours["serving_fused_mc_b8_ms"] = {
+            "ms_synced": 5.0, "ms_chained": 1.0,
+            "timing": {"median_s": 0.005, "min_s": 0.005, "max_s": 0.005,
+                       "reps": 3}}
+        fake.write_text(
+            "import json\n"
+            f"print(json.dumps({{'ours': {ours!r}, 'device': 'fake'}}))\n")
+        env = dict(os.environ)
+        env["MMC_BENCH_PROBE_CMD"] = "true"
+        env["MMC_BENCH_NO_LIVE_BASELINE"] = "1"
+        env["MMC_BENCH_CHILD_CMD"] = f"{sys.executable} {fake}"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, timeout=120, env=env, cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        rec = json.loads(r.stdout.decode().strip().splitlines()[-1])
+        assert rec["value"] == 1046.0
+        assert "doubling" in rec["unit"]
+        assert len(rec["configs"]) == 8
+        dbl = next(c for c in rec["configs"]
+                   if c["metric"] == "h36m_conv_b2048_dbl")
+        direct = next(c for c in rec["configs"]
+                      if c["metric"] == "h36m_conv_b2048")
+        # same torch baseline on both rows
+        assert dbl["baseline_seq_per_s"] == direct["baseline_seq_per_s"]
 
     def test_backend_error_classifier(self):
         sys.path.insert(0, REPO)
