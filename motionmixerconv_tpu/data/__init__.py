@@ -15,9 +15,19 @@ from .cmu import (
     load_data_cmu,
     load_data_cmu_3d,
 )
+from .normalization import (
+    normalization_stats,
+    normalize_data,
+    revert_output_format,
+    unNormalizeData,
+)
 from . import fixtures
 
 __all__ = [
+    "normalization_stats",
+    "normalize_data",
+    "revert_output_format",
+    "unNormalizeData",
     "constants",
     "WindowedCorpus",
     "batch_starts",

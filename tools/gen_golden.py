@@ -670,6 +670,57 @@ def golden_cmu():
     print("cmu.npz written")
 
 
+def golden_normalization():
+    """SRNN normalization quartet (h36m/utils/data_utils.py:128-277).
+
+    ``revert_output_format`` needs an ``xrange`` shim: the reference loop is
+    Python-2 (:192) and raises NameError on any Python 3 — the port fixes
+    that (DESIGN.md §5); the golden pins the rest of its semantics.
+    """
+    import builtins
+
+    rs = _seeded(11)
+    n, D = 40, 99
+    complete = rs.randn(n, D).astype(np.float32) * 0.4
+    complete[:, [3, 17, 42]] = 0.75  # constant dims -> std < 1e-4
+    mean, std, ignore, use = ref_du.normalization_stats(complete)
+
+    actions = ["walking", "eating", "smoking"]
+    seqs = {"a": rs.randn(12, D).astype(np.float32),
+            "b": rs.randn(7, D).astype(np.float32)}
+    normed = ref_du.normalize_data(seqs, mean, std, use, actions,
+                                   one_hot=False)
+    seqs_oh = {k: np.hstack([v, rs.rand(v.shape[0], len(actions))
+                             .astype(np.float32)])
+               for k, v in seqs.items()}
+    normed_oh = ref_du.normalize_data(seqs_oh, mean, std, use, actions,
+                                      one_hot=True)
+    un = ref_du.unNormalizeData(normed["a"], mean, std, ignore, actions,
+                                one_hot=False)
+    un_oh = ref_du.unNormalizeData(normed_oh["a"], mean, std, ignore,
+                                   actions, one_hot=True)
+    poses = [normed["a"][i:i + 1].repeat(3, axis=0) for i in range(5)]
+    builtins.xrange = range  # reference :192 is Python-2 (NameError on py3)
+    try:
+        reverted = ref_du.revert_output_format(poses, mean, std, ignore,
+                                               actions, one_hot=False)
+    finally:
+        del builtins.xrange
+    np.savez(
+        os.path.join(OUT_DIR, "normalization.npz"),
+        complete=complete, mean=mean, std=std,
+        ignore=np.array(ignore, dtype=np.int64),
+        use=np.array(use, dtype=np.int64),
+        seq_a=seqs["a"], seq_b=seqs["b"],
+        seq_oh_a=seqs_oh["a"], seq_oh_b=seqs_oh["b"],
+        normed_a=normed["a"], normed_b=normed["b"],
+        normed_oh_a=normed_oh["a"], normed_oh_b=normed_oh["b"],
+        un=un, un_oh=un_oh,
+        poses=np.stack(poses), reverted=np.stack(reverted),
+    )
+    print("normalization.npz written")
+
+
 if __name__ == "__main__":
     golden_rotations()
     golden_fkl()
@@ -684,3 +735,4 @@ if __name__ == "__main__":
     golden_train_parity()
     golden_graph()
     golden_cmu()
+    golden_normalization()
