@@ -327,22 +327,29 @@ def measure_jax() -> tuple[dict, str]:
     out = {}
 
     def scan_config(name, trainer, batch, n_batches, step_impl, epoch_impl,
-                    strict_bytes=True):
+                    known_bytes_overcount=False):
         """Honest scan-epoch throughput: per-rep-synced median + true FLOPs.
 
         ``step_impl``/``epoch_impl`` are the UNJITTED impl fns; they are
         re-jitted here WITHOUT donation so the same state can be reused
         across reps.
 
-        ``strict_bytes=False`` downgrades an HBM-roof breach to a
-        ``bytes_model_overcount`` annotation (hbm_frac suppressed). Used
-        only where the overcount is PROVEN: for the unrolled-rollout AR
-        config, cost_analysis reports 9.77 GB/step — the step-program and
-        epoch-body counts agree to 0.1%, the per-rep-synced step time
-        (7.31 ms) exactly reproduces the r3 measurement, and 9.77 GB is
-        1.6x more than the 819 GB/s roof could move in that time, so the
-        count provably includes fused VMEM traffic that never touches HBM
-        (measured r4, tools/probe.py ar). FLOP gates always stay hard.
+        ``known_bytes_overcount=True`` marks configs whose cost_analysis
+        byte count PROVABLY includes fused VMEM traffic that never touches
+        HBM: the record is annotated ``bytes_model_overcount`` and its
+        hbm_frac suppressed unconditionally (not only when the roof is
+        breached — an under-roof hbm_frac from an overcounting model is
+        still inflated, ADVICE r4), and a roof breach downgrades from a
+        hard failure to the same annotation. Proven for two configs:
+        - the unrolled-rollout AR config: cost_analysis reports
+          9.77 GB/step — step-program and epoch-body counts agree to 0.1%,
+          the per-rep-synced step time (7.31 ms) reproduces the r3
+          measurement, and 9.77 GB is 1.6x what the 819 GB/s roof could
+          move in that time (measured r4, tools/probe.py ar);
+        - the doubling-recurrence encoder: its stacked sin/cos
+          intermediates are fused VMEM tensors, and a probe-timed step
+          implied 887 GB/s vs the 819 GB/s roof (profiling.py docstring).
+        FLOP gates always stay hard.
         """
         state = trainer.init_state(jax.random.PRNGKey(0))
         starts1 = jnp.asarray(rs.randint(0, n_windows, batch).astype(np.int32))
@@ -363,8 +370,9 @@ def measure_jax() -> tuple[dict, str]:
         overcounted = check_physical_ceilings(
             name, device_kind=kind, dtype=dtype,
             flops_per_s=flops_per_s, bytes_per_s=bytes_per_s,
-            strict_bytes=strict_bytes,
+            strict_bytes=not known_bytes_overcount,
         )
+        overcounted = overcounted or known_bytes_overcount
         peak = peak_flops_for(kind, dtype)
         roof_b = PEAK_BYTES.get(kind)
         return {
@@ -403,6 +411,13 @@ def measure_jax() -> tuple[dict, str]:
     out["h36m_conv_b2048_dbl"] = scan_config(
         "h36m_conv_b2048_dbl", tr, 2048, 30,
         tr._train_step_impl, tr._train_epoch_scan_impl,
+        # the doubling recurrence's cost_analysis byte model overcounts fused
+        # VMEM traffic just like the AR rollout's (probe r4: implied 887 GB/s
+        # vs the 819 GB/s roof on an honestly-timed step); the r4 run landed
+        # at hbm_frac 0.942, ~6% under the 1.05-slack gate, so a modestly
+        # faster rep would hard-fail the bench on a known model artifact
+        # (ADVICE r4). FLOP gates stay hard.
+        known_bytes_overcount=True,
     )
 
     # AMASS MlpMixer, batch 200 (loss x1000, unscaled input, 54 dims)
@@ -429,7 +444,7 @@ def measure_jax() -> tuple[dict, str]:
         lambda s, f, st, ww: ar._ar_train_impl(s, f, st, ww, False),
         lambda s, f, st, ww: ar._ar_epoch_scan_impl(s, f, st, ww, False),
         # proven byte-model overcount for the unrolled rollout (docstring)
-        strict_bytes=False,
+        known_bytes_overcount=True,
     )
 
     # full-epoch wall-clock: scanned train epoch + scanned val + grouped
@@ -688,7 +703,21 @@ def main():
     flagship = max(  # fastest honest b2048 variant: reference-numerics
         # 'direct' or the documented doubling fast path (same math)
         (c for c in configs if c["metric"].startswith("h36m_conv_b2048")),
-        key=lambda c: c["value"])
+        key=lambda c: c["value"], default=None)
+    if flagship is None:
+        # a degraded/minimal child record with no b2048 rows at all: emit a
+        # structured partial record instead of crashing (ADVICE r4)
+        print(json.dumps({
+            "metric": "train_sequences_per_sec",
+            "value": None,
+            "unit": "seq/s (H36M ConvMixer, batch 2048, per-rep-synced "
+                    "median)",
+            "vs_baseline": None,
+            "skipped": "child record lacked the mandatory b2048 configs",
+            "device": device_kind,
+            "configs": configs,
+        }))
+        return
     unit = ("seq/s (H36M ConvMixer defaults, batch 2048, "
             "per-rep-synced median)"
             if flagship["metric"] == "h36m_conv_b2048" else

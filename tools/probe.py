@@ -173,13 +173,21 @@ def write_json(name: str, results: dict) -> None:
 
 
 def _measure_scan_config(tr, frames, batch, n_batches, rs, reps,
-                         name="cfg", epoch_attr="_train_epoch_scan_impl"):
-    """bench.py's scan_config methodology for an arbitrary trainer."""
+                         name="cfg", epoch_attr="_train_epoch_scan_impl",
+                         starts_pack=None):
+    """bench.py's scan_config methodology for an arbitrary trainer.
+
+    ``starts_pack`` (starts1, w1, starts, w) reuses a caller's window-index
+    stream so control rows time the SAME windows as the measurement they
+    attribute (ADVICE r4); by default a fresh stream is drawn from ``rs``.
+    """
     import jax
 
     state = tr.init_state(jax.random.PRNGKey(0))
     n_windows = frames.shape[0] - SEQ_LEN
-    starts1, w1, starts, w = starts_for(rs, n_windows, n_batches, batch)
+    starts1, w1, starts, w = (starts_pack if starts_pack is not None
+                              else starts_for(rs, n_windows, n_batches,
+                                              batch))
     step_fn = jax.jit(tr._train_step_impl)
     epoch_fn = jax.jit(getattr(tr, epoch_attr))
     flops, bts = step_cost(step_fn, state, frames, starts1, w1)
@@ -261,7 +269,11 @@ def _phase_decomp(tr, frames, batch, n_batches, rs, reps, peak_b,
     full step by construction; each phase's exclusive time/bytes are the
     deltas. Shared by `decomp` (flagship ConvMixer) and `amass`
     (MlpMixer) — any Trainer with the standard _prepare/_forward surface
-    works."""
+    works.
+
+    Returns ``(row, starts_pack)``: the window-index stream all phases
+    (including the full-step row) consumed, so callers can time their
+    detail/control rows on the SAME windows (ADVICE r4)."""
     import jax
     import jax.numpy as jnp
 
@@ -333,9 +345,11 @@ def _phase_decomp(tr, frames, batch, n_batches, rs, reps, peak_b,
         }
         prev_t, prev_b = t_us, bts
 
-    # full step via the production impls (includes optimizer + decay)
+    # full step via the production impls (includes optimizer + decay),
+    # timed on the same index stream as the telescoped phases
     full = _measure_scan_config(tr, frames, batch, n_batches, rs,
-                                reps, name=f"{name} full b{batch}")
+                                reps, name=f"{name} full b{batch}",
+                                starts_pack=(starts1, w1, starts, w))
     d_t = full["step_us"] - prev_t
     d_b = full["mbytes_per_step"] * 1e6 - prev_b
     row["phases"]["optimizer"] = {
@@ -354,7 +368,7 @@ def _phase_decomp(tr, frames, batch, n_batches, rs, reps, peak_b,
         log(f"  {pname:>9}: excl {p['excl_us']:7.1f} us  "
             f"{p['excl_mbytes']:8.1f} MB  -> {p['excl_gbytes_s']:6.1f} "
             f"GB/s   (cum {p['cum_us']:.0f} us)")
-    return row
+    return row, (starts1, w1, starts, w)
 
 
 def cmd_decomp(args):
@@ -379,11 +393,12 @@ def cmd_decomp(args):
 
     for batch, n_batches in batch_plan(args.batches, args.n_batches):
         tr = flagship_trainer()
-        row = _phase_decomp(tr, frames, batch, n_batches, rs, args.reps,
-                            peak_b, name="decomp")
-        starts1, w1, starts, w = starts_for(
-            np.random.RandomState(0), frames.shape[0] - SEQ_LEN,
-            n_batches, batch)
+        row, pack = _phase_decomp(tr, frames, batch, n_batches, rs,
+                                  args.reps, peak_b, name="decomp")
+        # detail/control rows time the SAME window indices the telescoped
+        # phases consumed (ADVICE r4 — a fresh RandomState(0) here timed a
+        # different, batch-row-invariant stream)
+        starts1, w1, starts, w = pack
 
         if args.forward_detail:
             det = _forward_detail(tr, frames, dims, starts1, w1, starts, w,
@@ -403,7 +418,8 @@ def cmd_decomp(args):
             ):
                 c = _measure_scan_config(
                     flagship_trainer(**kw), frames, batch, n_batches, rs,
-                    args.reps, name=f"decomp {cname} b{batch}")
+                    args.reps, name=f"decomp {cname} b{batch}",
+                    starts_pack=pack)
                 ctl[cname] = c
                 log(f"  control {cname:>9}: {c['step_us']:7.0f} us/step  "
                     f"{c['gbytes_s']:6.1f} GB/s  {c['tflops']:.2f} TF/s")
@@ -524,8 +540,9 @@ def cmd_amass(args):
     results = {"device": kind}
 
     for batch, n_batches in batch_plan(args.batches, args.n_batches):
-        row = _phase_decomp(amass_trainer(), frames, batch, n_batches, rs,
-                            args.reps, peak_b, name="amass")
+        row, pack = _phase_decomp(amass_trainer(), frames, batch,
+                                  n_batches, rs, args.reps, peak_b,
+                                  name="amass")
         full = row["full"]
         fp = (f"{full['tflops'] * 1e12 / peak_f * 100:5.2f}%"
               if peak_f else "?")
@@ -542,7 +559,8 @@ def cmd_amass(args):
             ):
                 c = _measure_scan_config(
                     amass_trainer(**kw), frames, batch, n_batches, rs,
-                    args.reps, name=f"amass {cname} b{batch}")
+                    args.reps, name=f"amass {cname} b{batch}",
+                    starts_pack=pack)
                 ctl[cname] = c
                 log(f"  control {cname:>9}: {c['step_us']:7.0f} us/step  "
                     f"{c['gbytes_s']:6.1f} GB/s  {c['tflops']:.2f} TF/s  "
