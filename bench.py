@@ -1,16 +1,34 @@
 """Benchmark suite: training/serving throughput across the framework's real
 configurations, each against a live-measured PyTorch-CPU reference baseline.
 
-Configs (VERDICT r1 item 4, methodology reworked per VERDICT r2 item 1):
+Configs (VERDICT r1 item 4, methodology reworked per VERDICT r2 item 1;
+angle/AIS/throughput rows added per VERDICT r4 items 2-3, 7):
 - h36m_conv_b50 / b512 / b2048 : flagship ConvMixer scan-epoch training
 - h36m_conv_b2048_dbl          : b2048 with harmonic_impl='doubling' — the
                                  measured large-batch fast path (DESIGN §6
                                  attack C; same math, f32 round-off differs)
+- h36m_conv_angle_b50          : L1-angle training at the angle CLI defaults
+                                 (hidden 60 / blocks 3 / lr 1e-2, 48 dims —
+                                 train_mixer_h36m.py:529-552)
+- h36m_angle_euler_eval        : grouped 15-action test_angle eval — the
+                                 expmap2rotmat→rotmat2euler conversion chain
+                                 per batch (utils_mixer.py:59-73), the
+                                 reference's heaviest metric path
+- ais_conv_b50                 : AIS ConvMixer training (33 of 57 dims,
+                                 train_mixer_ais.py:119-125; no /1000 input
+                                 scaling, :193)
 - amass_mlp_b200               : AMASS MlpMixer (CLI defaults) training
+- amass_mlp_b1024              : the bandwidth-saturated AMASS operating
+                                 point (probe.py amass: batch is the lever)
 - h36m_autoreg_b50             : closed-loop autoregressive training
 - h36m_full_epoch              : full epoch wall-clock (train + val +
                                  15-action grouped test)
 - serving_fused_mc_b8          : fused multi-channel Pallas kernel latency
+- serving_throughput_mc        : sustained req/s of the BatchingPredictor
+                                 micro-batching stack under 32 concurrent
+                                 b1 clients (RTT included), p50/p99, plus
+                                 the same harness over loopback HTTP — vs
+                                 the torch model serving the same load
 
 Timing methodology (each rule exists because its absence produced the
 invalid BENCH_r02 numbers):
@@ -38,7 +56,7 @@ baselines it can, prints a structured machine-readable skip record
 A backend that flaps mid-measurement degrades to the same skip record; a
 backend that HANGS mid-measurement is bounded too — the measurement itself
 runs in a killable child process under MMC_BENCH_MEASURE_BUDGET_S (default
-3600 s) and emits the skip record on expiry (an in-process watchdog cannot
+5400 s) and emits the skip record on expiry (an in-process watchdog cannot
 interrupt a device_get blocked in the runtime).
 
 Baselines run the reference's own torch modules (model, loss, Adam,
@@ -106,9 +124,84 @@ MC_KW = dict(  # the ConvMixer study's fixed shape (sweep/conv_study.py:61-65)
     activation="gelu", regularization=0.1, use_se=True, r_se=8,
     use_max_pooling=False, encoder_n_harmonic_functions=0, encoder_omega0=0.1,
 )
+ANGLE_KW = dict(  # angle-loss CLI defaults (train_mixer_h36m.py:529-552)
+    num_blocks=3, dimPosIn=48, dimPosEmb=60, dimPosOut=48,
+    in_nTP=INPUT_N, out_nTP=OUTPUT_N, conv_nChan=1,
+    conv1_kernel_shape=(1, 3), conv1_stride=(1, 1), conv1_padding=(0, 1),
+    mode_conv="twice", activation="mish", regularization=0.0,
+    use_se=True, r_se=8, use_max_pooling=False,
+    encoder_n_harmonic_functions=64, encoder_omega0=0.1,
+)
+AIS_KW = dict(  # AIS trainer shape (train_mixer_ais.py:119-125 dim_used ->
+    # 33 dims; model defaults from the study / cli/train_mixer_ais.py)
+    num_blocks=4, dimPosIn=33, dimPosEmb=50, dimPosOut=33,
+    in_nTP=INPUT_N, out_nTP=10, conv_nChan=1,
+    conv1_kernel_shape=(1, 3), conv1_stride=(1, 1), conv1_padding=(0, 1),
+    mode_conv="twice", activation="mish", regularization=0.1,
+    use_se=True, r_se=8, use_max_pooling=False,
+    encoder_n_harmonic_functions=64, encoder_omega0=0.1,
+)
+ANGLE_FULL_DIM = 99  # H36M angle frames keep all 99 expmap dims
+AIS_FULL_DIM = 57    # 19 keypoints x 3
+
+# serving throughput-mode load (VERDICT r4 item 3): N concurrent clients
+# each looping single-pose (b=1) requests for a fixed wall-clock window
+TPUT_CLIENTS, TPUT_WINDOW_S, TPUT_MAX_BATCH = 32, 6.0, 32
 
 # window counts for the full-epoch config
 EPOCH_TRAIN_W, EPOCH_VAL_W, EPOCH_TEST_W = 10000, 2000, 15 * 256
+
+
+# ----------------------------------------------- shared throughput harness
+
+
+def _drive_throughput(predict_one, n_clients: int, duration_s: float) -> dict:
+    """Sustained request throughput under concurrent closed-loop clients.
+
+    ``n_clients`` threads each loop ``predict_one()`` (one b=1 request) for
+    ``duration_s`` of wall clock; per-request latency is recorded on the
+    CALLER side, so every number includes whatever the serving path costs
+    end-to-end (micro-batching wait, device dispatch, relay RTT). Requests
+    in flight when the window closes still finish and count (closed-loop
+    harness, no abandoned work). Same harness drives ours and the torch
+    baseline so the comparison is like-for-like.
+    """
+    import threading
+
+    lat: list = []
+    lock = threading.Lock()
+    start_gate = threading.Event()
+    stop_at = [0.0]
+
+    def client():
+        mine = []
+        start_gate.wait()
+        while time.perf_counter() < stop_at[0]:
+            t0 = time.perf_counter()
+            predict_one()
+            mine.append(time.perf_counter() - t0)
+        with lock:
+            lat.extend(mine)
+
+    threads = [threading.Thread(target=client, daemon=True)
+               for _ in range(n_clients)]
+    for t in threads:
+        t.start()
+    t_begin = time.perf_counter()
+    stop_at[0] = t_begin + duration_s
+    start_gate.set()
+    for t in threads:
+        t.join()
+    elapsed = time.perf_counter() - t_begin
+    arr = np.sort(np.asarray(lat, np.float64))
+    return {
+        "rps": len(arr) / elapsed,
+        "n_requests": int(len(arr)),
+        "p50_ms": float(np.percentile(arr, 50) * 1e3) if len(arr) else None,
+        "p99_ms": float(np.percentile(arr, 99) * 1e3) if len(arr) else None,
+        "window_s": elapsed,
+        "clients": n_clients,
+    }
 
 
 # --------------------------------------------------------------- torch side
@@ -125,11 +218,15 @@ def _torch_setup():
     return torch
 
 
-def _torch_conv(torch):
+def _ref_conv_cls(torch):
     from h36m.conv_mixer_model import ConvMixer as RefConvMixer
 
+    return RefConvMixer
+
+
+def _torch_conv(torch):
     torch.manual_seed(0)
-    return RefConvMixer(**CONV_KW)
+    return _ref_conv_cls(torch)(**CONV_KW)
 
 
 def _time_torch_steps(torch, model, step_fn, steps, warmup=2):
@@ -148,15 +245,17 @@ def measure_torch_baselines() -> dict:
     rs = np.random.RandomState(0)
     out = {}
 
-    def train_steps(model, batch, in_n, out_n, dim, steps, loss_scale=1.0):
-        opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=1e-5)
+    def train_steps(model, batch, in_n, out_n, dim, steps, loss_scale=1.0,
+                    lr=1e-3, loss_fn=None):
+        opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-5)
         xb = torch.from_numpy(rs.randn(batch, in_n, dim).astype(np.float32))
         yb = torch.from_numpy(rs.randn(batch, out_n, dim).astype(np.float32))
         model.train()
+        loss_fn = loss_fn or ref_mpjpe
 
         def step():
             opt.zero_grad()
-            loss = ref_mpjpe(model(xb), yb) * loss_scale
+            loss = loss_fn(model(xb), yb) * loss_scale
             loss.backward()
             opt.step()
 
@@ -169,6 +268,52 @@ def measure_torch_baselines() -> dict:
             _torch_conv(torch), batch, INPUT_N, OUTPUT_N, POSE_DIM, steps
         )
 
+    # L1-angle training at the angle CLI defaults (train_mixer_h36m.py:185
+    # loss, :529-552 hyperparameters: hidden 60 / blocks 3 / lr 1e-2)
+    def l1_angle(pred, gt):
+        return torch.mean(torch.sum(torch.abs(pred - gt), dim=2))
+
+    torch.manual_seed(4)
+    out["h36m_conv_angle_b50"] = train_steps(
+        _ref_conv_cls(torch)(**ANGLE_KW), 50, INPUT_N, OUTPUT_N, 48, 30,
+        lr=1e-2, loss_fn=l1_angle)
+
+    # the euler-chain grouped eval (test_angle, train_mixer_h36m.py:420-469):
+    # forward on 48 used dims, scatter into the 99-dim frame, then
+    # expmap2rotmat -> rotmat2euler on EVERY pred+gt triplet
+    # (utils_mixer.py:59-73) plus joint_angle_error
+    from h36m.utils.utils_mixer import euler_error, joint_angle_error
+
+    torch.manual_seed(4)
+    ang = _ref_conv_cls(torch)(**ANGLE_KW)
+    ang.eval()
+    dim_used48 = torch.from_numpy(
+        np.array([6, 7, 8, 9, 12, 13, 14, 15, 21, 22, 23, 24, 27, 28, 29,
+                  30, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 51,
+                  52, 53, 54, 55, 56, 57, 60, 61, 62, 75, 76, 77, 78, 79,
+                  80, 81, 84, 85, 86], np.int64))
+    eb = torch.from_numpy(
+        (rs.randn(256, INPUT_N + OUTPUT_N, ANGLE_FULL_DIM) * 0.4)
+        .astype(np.float32))
+
+    def euler_eval_step():
+        with torch.no_grad():
+            gt = eb[:, INPUT_N:INPUT_N + OUTPUT_N, :]
+            pred = ang(eb[:, :INPUT_N, dim_used48])
+            all_seq = gt.clone()
+            all_seq[:, :, dim_used48] = pred
+            euler_error(all_seq, gt)
+            joint_angle_error(all_seq, gt)
+
+    dt = _time_torch_steps(torch, ang, euler_eval_step, steps=4)
+    out["h36m_angle_euler_eval"] = 4 * 256 / dt
+
+    # AIS ConvMixer training: 33 used dims, NO /1000 input scaling
+    # (train_mixer_ais.py:119-125, :193)
+    torch.manual_seed(5)
+    out["ais_conv_b50"] = train_steps(
+        _ref_conv_cls(torch)(**dict(AIS_KW)), 50, INPUT_N, 10, 33, 30)
+
     # AMASS MlpMixer (x1000 loss)
     from h36m.mlp_mixer import MlpMixer as RefMlpMixer
 
@@ -177,6 +322,12 @@ def measure_torch_baselines() -> dict:
     mlp = RefMlpMixer(**kw)
     out["amass_mlp_b200"] = train_steps(mlp, 200, INPUT_N, OUTPUT_N, 54, 15,
                                         loss_scale=1000.0)
+
+    # the bandwidth-saturated AMASS operating point (VERDICT r4 item 7)
+    torch.manual_seed(1)
+    out["amass_mlp_b1024"] = train_steps(
+        RefMlpMixer(**dict(MLP_KW)), 1024, INPUT_N, OUTPUT_N, 54, 3,
+        loss_scale=1000.0)
 
     # autoregressive closed-loop training (reference rollout driver)
     import argparse
@@ -240,6 +391,23 @@ def measure_torch_baselines() -> dict:
 
     dt = _time_torch_steps(torch, mc, mc_fwd, steps=20)
     out["serving_fused_mc_b8_ms"] = dt / 20 * 1e3
+
+    # serving THROUGHPUT baseline: the same closed-loop concurrent-client
+    # harness that drives our BatchingPredictor, serving b=1 requests with
+    # the torch model directly (torch releases the GIL inside ops, so the
+    # threads share the host cores exactly as a naive torch deployment
+    # would). VERDICT r4 item 3.
+    x1 = torch.from_numpy(rs.randn(1, INPUT_N, POSE_DIM).astype(np.float32))
+
+    def mc_one():
+        with torch.no_grad():
+            mc(x1)
+
+    mc_one()  # warm
+    tput = _drive_throughput(mc_one, TPUT_CLIENTS, TPUT_WINDOW_S)
+    out["serving_throughput_rps"] = tput["rps"]
+    out["serving_throughput_p50_ms"] = tput["p50_ms"]
+    out["serving_throughput_p99_ms"] = tput["p99_ms"]
     return out
 
 
@@ -313,7 +481,11 @@ def measure_jax() -> tuple[dict, str]:
     import jax
     import jax.numpy as jnp
 
-    from motionmixerconv_tpu.data.constants import H36M_DIM_USED_XYZ
+    from motionmixerconv_tpu.data.constants import (
+        AIS_DIM_USED,
+        H36M_DIM_USED_ANGLE,
+        H36M_DIM_USED_XYZ,
+    )
     from motionmixerconv_tpu.models import ConvMixer, MlpMixer
     from motionmixerconv_tpu.train import Trainer, make_optimizer
     from motionmixerconv_tpu.train.autoreg_trainer import AutoregressiveTrainer
@@ -327,12 +499,17 @@ def measure_jax() -> tuple[dict, str]:
     out = {}
 
     def scan_config(name, trainer, batch, n_batches, step_impl, epoch_impl,
-                    known_bytes_overcount=False):
+                    known_bytes_overcount=False, frames_arr=None, reps=5):
         """Honest scan-epoch throughput: per-rep-synced median + true FLOPs.
 
         ``step_impl``/``epoch_impl`` are the UNJITTED impl fns; they are
         re-jitted here WITHOUT donation so the same state can be reused
-        across reps.
+        across reps. ``frames_arr`` selects the corpus (default: the 96-dim
+        H36M xyz frames). ``reps`` is raised for sub-ms configs whose
+        per-rep-synced spread was relay-jitter dominated at 5 reps
+        (BENCH_r04 b50 spread 0.159; VERDICT r4 item 1 — the final sync's
+        ~28-30 ms relay RTT is a larger fraction of a short epoch, so short
+        configs also run more batches per dispatch, see the b50 calls).
 
         ``known_bytes_overcount=True`` marks configs whose cost_analysis
         byte count PROVABLY includes fused VMEM traffic that never touches
@@ -351,18 +528,20 @@ def measure_jax() -> tuple[dict, str]:
           implied 887 GB/s vs the 819 GB/s roof (profiling.py docstring).
         FLOP gates always stay hard.
         """
+        fr = frames if frames_arr is None else frames_arr
+        nw = fr.shape[0] - (trainer.input_n + trainer.output_n)
         state = trainer.init_state(jax.random.PRNGKey(0))
-        starts1 = jnp.asarray(rs.randint(0, n_windows, batch).astype(np.int32))
+        starts1 = jnp.asarray(rs.randint(0, nw, batch).astype(np.int32))
         w1 = jnp.ones((batch,), jnp.float32)
         starts = jnp.asarray(
-            rs.randint(0, n_windows, size=(n_batches, batch)).astype(np.int32))
+            rs.randint(0, nw, size=(n_batches, batch)).astype(np.int32))
         w = jnp.ones((n_batches, batch), jnp.float32)
 
         step_fn = jax.jit(step_impl)
         epoch_fn = jax.jit(epoch_impl)
         # costs of one step; the epoch scan executes the body n_batches times
-        flops_step, bytes_step = _step_cost(step_fn, state, frames, starts1, w1)
-        t = _timed(lambda: epoch_fn(state, frames, starts, w)[1], reps=5)
+        flops_step, bytes_step = _step_cost(step_fn, state, fr, starts1, w1)
+        t = _timed(lambda: epoch_fn(state, fr, starts, w)[1], reps=reps)
         tput = n_batches * batch / t["median_s"]
         flops_per_s = flops_step * n_batches / t["median_s"]
         bytes_per_s = bytes_step * n_batches / t["median_s"]
@@ -394,12 +573,16 @@ def measure_jax() -> tuple[dict, str]:
         return Trainer(model, opt, loss_type="mpjpe", dim_used=H36M_DIM_USED_XYZ,
                        input_n=INPUT_N, output_n=OUTPUT_N, input_scale=1e-3)
 
-    # flagship at three batch sizes
-    for batch, n_batches in ((50, 200), (512, 60), (2048, 30)):
+    # flagship at three batch sizes. The b50 epoch runs 600 batches per
+    # dispatch and 10 reps: at the r4 settings (200 batches, ~100 ms/epoch)
+    # the one final device_get's ~28-30 ms relay RTT was ~28% of every rep
+    # and its jitter produced the 0.159 spread (tools/probe.py jitter
+    # attributes it); a longer scan amortizes the same honest sync.
+    for batch, n_batches, reps in ((50, 600, 10), (512, 60, 5), (2048, 30, 5)):
         tr = conv_trainer()
         out[f"h36m_conv_b{batch}"] = scan_config(
             f"h36m_conv_b{batch}", tr, batch, n_batches,
-            tr._train_step_impl, tr._train_epoch_scan_impl,
+            tr._train_step_impl, tr._train_epoch_scan_impl, reps=reps,
         )
 
     # b2048 with the angle-doubling harmonic encoder: the measured
@@ -420,6 +603,75 @@ def measure_jax() -> tuple[dict, str]:
         known_bytes_overcount=True,
     )
 
+    # L1-angle training at the angle CLI defaults (48 of 99 expmap dims,
+    # no /1000 input scaling) — the rotation-heavy reference path's trainer
+    frames_ang = jnp.asarray(
+        (rs.randn(N_FRAMES, ANGLE_FULL_DIM) * 0.4).astype(np.float32))
+    ang_tr = Trainer(
+        ConvMixer(**ANGLE_KW), make_optimizer(lr=1e-2, steps_per_epoch=100),
+        loss_type="angle", dim_used=H36M_DIM_USED_ANGLE,
+        input_n=INPUT_N, output_n=OUTPUT_N, input_scale=1.0)
+    out["h36m_conv_angle_b50"] = scan_config(
+        "h36m_conv_angle_b50", ang_tr, 50, 600,
+        ang_tr._train_step_impl, ang_tr._train_epoch_scan_impl,
+        frames_arr=frames_ang, reps=10,
+    )
+
+    # the euler-chain grouped eval: 15 actions x 256 windows through
+    # test_angle's expmap2rotmat -> rotmat2euler conversion of EVERY pred+gt
+    # triplet (utils_mixer.py:59-73) in ONE scanned dispatch — the
+    # reference's heaviest metric path, previously untimed (VERDICT r4
+    # item 2)
+    st_ang = ang_tr.init_state(jax.random.PRNGKey(0))
+    n_eval_batches, eval_bs = 15, 256
+    ev_starts = rs.randint(0, N_FRAMES - seq_len,
+                           n_eval_batches * eval_bs).astype(np.int64)
+    ev_gids = np.repeat(np.arange(15), eval_bs)
+    per_fn = ang_tr._per_sample_for_kind("h36m_angle")
+    eval_batch_fn = jax.jit(lambda v, f, s: per_fn(v, f, s))
+    flops_eb, bytes_eb = _step_cost(
+        eval_batch_fn, st_ang.variables(), frames_ang,
+        jnp.asarray(ev_starts[:eval_bs].astype(np.int32)))
+    t = _timed(lambda: ang_tr.evaluate_grouped(
+        st_ang, frames_ang, ev_starts, ev_gids, 15, eval_bs, "h36m_angle"),
+        reps=10)
+    ev_tput = n_eval_batches * eval_bs / t["median_s"]
+    ev_overcounted = check_physical_ceilings(
+        "h36m_angle_euler_eval", device_kind=kind, dtype=jnp.float32,
+        flops_per_s=flops_eb * n_eval_batches / t["median_s"],
+        bytes_per_s=bytes_eb * n_eval_batches / t["median_s"],
+        # the conversion chain's (N,3,3) rotmat intermediates live in fused
+        # VMEM tiles; cost_analysis counts them as accessed bytes anyway
+        # (same class of overcount as the AR rollout's, profiling.py)
+        strict_bytes=False,
+    )
+    peak_ev = peak_flops_for(kind, jnp.float32)
+    roof_ev = PEAK_BYTES.get(kind)
+    out["h36m_angle_euler_eval"] = {
+        **({"bytes_model_overcount": True} if ev_overcounted else {}),
+        "tput": ev_tput,
+        "mfu": (flops_eb * n_eval_batches / t["median_s"] / peak_ev)
+        if peak_ev else None,
+        "hbm_frac": (bytes_eb * n_eval_batches / t["median_s"] / roof_ev
+                     if roof_ev and not ev_overcounted else None),
+        "gbytes_per_s": bytes_eb * n_eval_batches / t["median_s"] / 1e9,
+        "per_step_us": t["median_s"] / n_eval_batches * 1e6,
+        "timing": t,
+    }
+
+    # AIS ConvMixer training (33 of 57 dims, unscaled input)
+    frames_ais = jnp.asarray(
+        (rs.randn(N_FRAMES, AIS_FULL_DIM) * 0.5).astype(np.float32))
+    ais_tr = Trainer(
+        ConvMixer(**AIS_KW), make_optimizer(lr=1e-3, steps_per_epoch=100),
+        loss_type="mpjpe", dim_used=AIS_DIM_USED,
+        input_n=INPUT_N, output_n=10, input_scale=1.0)
+    out["ais_conv_b50"] = scan_config(
+        "ais_conv_b50", ais_tr, 50, 600,
+        ais_tr._train_step_impl, ais_tr._train_epoch_scan_impl,
+        frames_arr=frames_ais, reps=10,
+    )
+
     # AMASS MlpMixer, batch 200 (loss x1000, unscaled input, 54 dims)
     mlp = MlpMixer(**MLP_KW)
     tr = Trainer(mlp, make_optimizer(lr=1e-3, steps_per_epoch=100),
@@ -428,6 +680,14 @@ def measure_jax() -> tuple[dict, str]:
                  loss_scale=1000.0)
     out["amass_mlp_b200"] = scan_config(
         "amass_mlp_b200", tr, 200, 100,
+        tr._train_step_impl, tr._train_epoch_scan_impl,
+    )
+
+    # the amortized AMASS operating point: b1024 reaches ~81% of the HBM
+    # roof (tools/probe.py amass) — recorded as a committed bench row so
+    # "batch is the lever" is a number, not a probe note (VERDICT r4 item 7)
+    out["amass_mlp_b1024"] = scan_config(
+        "amass_mlp_b1024", tr, 1024, 30,
         tr._train_step_impl, tr._train_epoch_scan_impl,
     )
 
@@ -475,7 +735,7 @@ def measure_jax() -> tuple[dict, str]:
     epoch(tr.init_state(jax.random.PRNGKey(0)))  # compile all three phases
     epoch(tr.init_state(jax.random.PRNGKey(1)))  # absorb first-exec costs
     ts = []
-    for rep in range(3):
+    for rep in range(5):
         state = tr.init_state(jax.random.PRNGKey(2 + rep))
         # flax init is EAGER (hundreds of small dispatches on the tunneled
         # runtime); block here so its queue backlog drains before t0 —
@@ -517,6 +777,53 @@ def measure_jax() -> tuple[dict, str]:
         "ms_chained": chained_ms,
         "timing": synced,
     }
+
+    # serving as a THROUGHPUT system (VERDICT r4 item 3): the
+    # BatchingPredictor micro-batching stack under 32 concurrent b=1
+    # clients — requests coalesce into single device dispatches, so the
+    # relay RTT that dominates the per-call row above is paid once per
+    # WAVE, not once per request. Same harness as the torch baseline.
+    from motionmixerconv_tpu.serving import Predictor
+    from motionmixerconv_tpu.serving_server import (
+        BatchingPredictor,
+        PredictionServer,
+    )
+
+    pred = Predictor(mc, variables)
+    bp = BatchingPredictor(pred, max_batch=TPUT_MAX_BATCH, max_wait_ms=2.0)
+    bp.warmup((INPUT_N, POSE_DIM))  # compile every bucket before timing
+    x1 = np.asarray(rs.randn(1, INPUT_N, POSE_DIM).astype(np.float32) * 0.5)
+    direct = _drive_throughput(lambda: bp.predict(x1, timeout=120.0),
+                               TPUT_CLIENTS, TPUT_WINDOW_S)
+    direct["mean_batch_rows"] = bp.stats()["mean_batch_rows"]
+    bp.close()
+
+    # the same load over loopback HTTP (the mmc-serve transport; its server
+    # shares `pred`, so the warmed bucket executables are reused)
+    server = PredictionServer(pred, port=0, max_batch=TPUT_MAX_BATCH,
+                              max_wait_ms=2.0)
+    server.start_background()
+    import http.client
+
+    payload = json.dumps({"inputs": x1.tolist()}).encode()
+
+    def http_one():
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=120)
+        try:
+            conn.request("POST", "/predict", payload,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            resp.read()
+            if resp.status != 200:
+                raise RuntimeError(f"/predict -> {resp.status}")
+        finally:
+            conn.close()
+
+    http_one()  # warm the HTTP path (first wave through the new batcher)
+    http_tput = _drive_throughput(http_one, 16, 4.0)
+    server.close()
+    out["serving_throughput_mc"] = {"direct": direct, "http": http_tput}
 
     return out, getattr(dev, "device_kind", str(dev))
 
@@ -592,11 +899,11 @@ def _measure_child_main() -> None:
 
 def _run_measurement(base: dict) -> tuple[dict, str] | None:
     """Run the measurement child under MMC_BENCH_MEASURE_BUDGET_S (default
-    3600 s — a healthy run takes ~10-20 min incl. remote compiles). Returns
+    5400 s — a healthy run takes ~15-30 min incl. remote compiles). Returns
     (ours, device_kind), or None after emitting a skip record."""
     import subprocess
 
-    budget = float(os.environ.get("MMC_BENCH_MEASURE_BUDGET_S", 3600))
+    budget = float(os.environ.get("MMC_BENCH_MEASURE_BUDGET_S", 5400))
     env_cmd = os.environ.get("MMC_BENCH_CHILD_CMD")  # test hook
     cmd = (env_cmd.split() if env_cmd
            else [sys.executable, os.path.abspath(__file__),
@@ -660,7 +967,8 @@ def main():
     # differs only in f32 round-off), so it shares that torch baseline
     baseline_key = {"h36m_conv_b2048_dbl": "h36m_conv_b2048"}
     for key in ("h36m_conv_b50", "h36m_conv_b512", "h36m_conv_b2048",
-                "h36m_conv_b2048_dbl", "amass_mlp_b200", "h36m_autoreg_b50"):
+                "h36m_conv_b2048_dbl", "h36m_conv_angle_b50", "ais_conv_b50",
+                "amass_mlp_b200", "amass_mlp_b1024", "h36m_autoreg_b50"):
         if key not in ours:
             continue  # older / minimal child records lack optional configs
         b = base.get(baseline_key.get(key, key))
@@ -668,6 +976,23 @@ def main():
         configs.append({
             "metric": key, "value": round(o["tput"], 1),
             "unit": "train seq/s",
+            "vs_baseline": round(o["tput"] / b, 2) if b else None,
+            "mfu": round(o["mfu"], 5) if o.get("mfu") else None,
+            "gb_per_s": round(o["gbytes_per_s"], 1),
+            "hbm_frac": round(o["hbm_frac"], 3) if o.get("hbm_frac") else None,
+            **({"bytes_model_overcount": True}
+               if o.get("bytes_model_overcount") else {}),
+            "per_step_us": round(o["per_step_us"], 1),
+            "spread": spread(o["timing"]),
+            "baseline_seq_per_s": round(b, 1) if b else None,
+        })
+    if "h36m_angle_euler_eval" in ours:
+        b = base.get("h36m_angle_euler_eval")
+        o = ours["h36m_angle_euler_eval"]
+        configs.append({
+            "metric": "h36m_angle_euler_eval", "value": round(o["tput"], 1),
+            "unit": "eval seq/s (grouped 15-action test_angle: "
+                    "expmap2rotmat→rotmat2euler on every pred+gt triplet)",
             "vs_baseline": round(o["tput"] / b, 2) if b else None,
             "mfu": round(o["mfu"], 5) if o.get("mfu") else None,
             "gb_per_s": round(o["gbytes_per_s"], 1),
@@ -699,6 +1024,28 @@ def main():
         "spread": spread(o["timing"]),
         "baseline_ms": round(b, 2) if b else None,
     })
+    if "serving_throughput_mc" in ours:
+        b = base.get("serving_throughput_rps")
+        o = ours["serving_throughput_mc"]
+        d, h = o["direct"], o["http"]
+        configs.append({
+            "metric": "serving_throughput_mc", "value": round(d["rps"], 1),
+            "unit": f"req/s sustained ({d['clients']} concurrent b1 clients "
+                    "on BatchingPredictor, micro-batched, RTT included)",
+            "vs_baseline": round(d["rps"] / b, 2) if b else None,
+            "p50_ms": round(d["p50_ms"], 2) if d.get("p50_ms") else None,
+            "p99_ms": round(d["p99_ms"], 2) if d.get("p99_ms") else None,
+            "mean_batch_rows": round(d.get("mean_batch_rows", 0.0), 1),
+            "http_rps": round(h["rps"], 1),
+            "http_p50_ms": round(h["p50_ms"], 2) if h.get("p50_ms") else None,
+            "baseline_rps": round(b, 1) if b else None,
+            "baseline_p50_ms": (
+                round(base["serving_throughput_p50_ms"], 2)
+                if base.get("serving_throughput_p50_ms") else None),
+            "baseline_p99_ms": (
+                round(base["serving_throughput_p99_ms"], 2)
+                if base.get("serving_throughput_p99_ms") else None),
+        })
 
     flagship = max(  # fastest honest b2048 variant: reference-numerics
         # 'direct' or the documented doubling fast path (same math)

@@ -239,6 +239,68 @@ class TestSkipRecord:
         # same torch baseline on both rows
         assert dbl["baseline_seq_per_s"] == direct["baseline_seq_per_s"]
 
+    def test_r5_rows_assembled(self, tmp_path):
+        """The round-5 rows (angle train, euler-chain eval, AIS, amass
+        b1024, serving throughput) flow through the parent assembly."""
+        row = {"tput": 1000.0, "mfu": 0.01, "hbm_frac": 0.5,
+               "flops_per_step": 1e6, "bytes_per_step": 1e6,
+               "gbytes_per_s": 100.0, "per_step_us": 100.0,
+               "timing": {"median_s": 0.1, "min_s": 0.1, "max_s": 0.1,
+                          "reps": 3}}
+        ours = {k: dict(row)
+                for k in ("h36m_conv_b50", "h36m_conv_b512",
+                          "h36m_conv_b2048", "h36m_conv_b2048_dbl",
+                          "h36m_conv_angle_b50", "ais_conv_b50",
+                          "amass_mlp_b200", "amass_mlp_b1024",
+                          "h36m_autoreg_b50")}
+        ours["h36m_angle_euler_eval"] = {
+            "tput": 5000.0, "mfu": 0.01, "hbm_frac": None,
+            "bytes_model_overcount": True, "gbytes_per_s": 10.0,
+            "per_step_us": 10.0,
+            "timing": {"median_s": 0.01, "min_s": 0.01, "max_s": 0.01,
+                       "reps": 3}}
+        ours["h36m_full_epoch_s"] = {"wall_s": 1.0, "min_s": 1.0,
+                                     "max_s": 1.0}
+        ours["serving_fused_mc_b8_ms"] = {
+            "ms_synced": 5.0, "ms_chained": 1.0,
+            "timing": {"median_s": 0.005, "min_s": 0.005, "max_s": 0.005,
+                       "reps": 3}}
+        ours["serving_throughput_mc"] = {
+            "direct": {"rps": 800.0, "n_requests": 4800, "p50_ms": 40.0,
+                       "p99_ms": 80.0, "window_s": 6.0, "clients": 32,
+                       "mean_batch_rows": 30.0},
+            "http": {"rps": 400.0, "n_requests": 1600, "p50_ms": 40.0,
+                     "p99_ms": 90.0, "window_s": 4.0, "clients": 16}}
+        fake = tmp_path / "fake_child.py"
+        fake.write_text(
+            "import json\n"
+            f"print(json.dumps({{'ours': {ours!r}, 'device': 'fake'}}))\n")
+        env = dict(os.environ)
+        env["MMC_BENCH_PROBE_CMD"] = "true"
+        env["MMC_BENCH_NO_LIVE_BASELINE"] = "1"
+        env["MMC_BENCH_CHILD_CMD"] = f"{sys.executable} {fake}"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, timeout=120, env=env, cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        rec = json.loads(r.stdout.decode().strip().splitlines()[-1])
+        assert "skipped" not in rec
+        metrics = [c["metric"] for c in rec["configs"]]
+        for m in ("h36m_conv_angle_b50", "ais_conv_b50", "amass_mlp_b1024",
+                  "h36m_angle_euler_eval", "serving_throughput_mc"):
+            assert m in metrics, metrics
+        assert len(rec["configs"]) == 13
+        ev = next(c for c in rec["configs"]
+                  if c["metric"] == "h36m_angle_euler_eval")
+        assert ev["bytes_model_overcount"] is True
+        assert ev["hbm_frac"] is None
+        tp = next(c for c in rec["configs"]
+                  if c["metric"] == "serving_throughput_mc")
+        assert tp["value"] == 800.0
+        assert tp["http_rps"] == 400.0
+        assert tp["p99_ms"] == 80.0
+
     def test_backend_error_classifier(self):
         sys.path.insert(0, REPO)
         try:

@@ -38,8 +38,20 @@ def _artifact(name):
 def test_help_lists_all_subcommands():
     out = _run(["--help"], timeout=60)
     for sub in ("roofline", "decomp", "gather", "encoder", "fused-in-scan",
-                "ar", "serving", "fused-epochs", "njobs"):
+                "ar", "serving", "fused-epochs", "njobs", "jitter"):
         assert sub in out
+
+
+def test_jitter_smoke():
+    _run(["jitter", *TINY, "--batches", "16", "--chain-k", "2",
+          "--rtt-reps", "3", "--reps", "2"])
+    art = _artifact("jitter")
+    assert art["relay_rtt"]["reps"] == 3
+    row = art["b16_n3"]
+    assert row["per_rep_synced"]["median_ms"] > 0
+    assert row["chained_per_epoch"]["median_ms"] > 0
+    for k in ("synced_wobble_ms", "chained_wobble_ms", "rtt_wobble_ms"):
+        assert row[k] >= 0
 
 
 def test_gather_smoke():

@@ -39,6 +39,9 @@ Subcommands (→ the perf_probe scripts they subsume):
   fused-epochs   --epochs_per_dispatch full-epoch scaling
                  (ex perf_probe12.py)
   njobs          Study.optimize(n_jobs) trial overlap (ex perf_probe15.py)
+  jitter         relay-RTT vs device-time variance attribution for the
+                 short-config per-rep-synced spread (new r5, VERDICT r4
+                 item 1)
 
 Examples (the DESIGN §6 reproduction commands):
   python tools/probe.py roofline
@@ -1153,6 +1156,103 @@ def cmd_njobs(args):
     write_json("njobs", results)
 
 
+# ---------------------------------------------------------------- jitter
+
+
+def _dist(ts) -> dict:
+    a = np.asarray(ts, np.float64) * 1e3
+    return {"median_ms": float(np.median(a)), "min_ms": float(np.min(a)),
+            "max_ms": float(np.max(a)), "p90_ms": float(np.percentile(a, 90)),
+            "spread": float((np.max(a) - np.min(a)) / max(np.median(a), 1e-9)),
+            "reps": int(len(a))}
+
+
+def cmd_jitter(args):
+    """Attribute the per-rep-synced spread of short configs: relay-RTT
+    jitter vs device-time variance (VERDICT r4 item 1 — BENCH_r04's
+    h36m_conv_b50 spread was 0.159 while every >=2 ms/step config sat at
+    0.01-0.02). Three instruments on the SAME b50 epoch program:
+
+    (a) bare relay RTT: device_get of a tiny READY array — no compute, no
+        dispatch; its distribution is the floor every per-rep sync pays.
+    (b) per-rep-synced epochs (the bench measurement mode): dispatch one
+        scan-epoch, device_get the loss, repeat.
+    (c) dependency-chained epochs: K state-threaded epoch dispatches, ONE
+        final device_get — per-epoch time with the RTT amortized K-fold,
+        isolating device-side variance.
+
+    If (b)'s absolute rep-to-rep wobble matches (a)'s and (c)'s is far
+    smaller, the spread is relay jitter on the final sync, not device
+    noise — and longer scans (more batches/dispatch) are the honest fix.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    results = {"device": device_kind()}
+
+    tiny = jnp.zeros(())
+    jax.block_until_ready(tiny)
+    jax.device_get(tiny)  # warm the transfer path
+    rtts = []
+    for _ in range(args.rtt_reps):
+        t0 = time.perf_counter()
+        jax.device_get(tiny)
+        rtts.append(time.perf_counter() - t0)
+    results["relay_rtt"] = _dist(rtts)
+    log(f"relay RTT: {results['relay_rtt']}")
+
+    frames = make_frames(args.n_frames)
+    n_windows = frames.shape[0] - SEQ_LEN
+    rs = np.random.RandomState(0)
+    tr = flagship_trainer()
+    state = tr.init_state(jax.random.PRNGKey(0))
+    epoch_fn = jax.jit(tr._train_epoch_scan_impl)
+
+    for batch in args.batches:
+        for n_batches in ([args.n_batches] if args.n_batches
+                          else [200, 600]):
+            _, _, starts, w = starts_for(rs, n_windows, n_batches, batch)
+            jax.device_get(epoch_fn(state, frames, starts, w)[1])
+            jax.device_get(epoch_fn(state, frames, starts, w)[1])
+
+            synced = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                jax.device_get(epoch_fn(state, frames, starts, w)[1])
+                synced.append(time.perf_counter() - t0)
+
+            chained = []
+            for _ in range(args.reps):
+                st, loss = state, None
+                t0 = time.perf_counter()
+                for _ in range(args.chain_k):
+                    st, loss = epoch_fn(st, frames, starts, w)
+                jax.device_get(loss)
+                chained.append((time.perf_counter() - t0) / args.chain_k)
+
+            sd, cd = _dist(synced), _dist(chained)
+            row = {
+                "n_batches": n_batches,
+                "per_rep_synced": sd,
+                "chained_per_epoch": cd,
+                # rep-to-rep wobble in ABSOLUTE ms, comparable across modes
+                "synced_wobble_ms": sd["max_ms"] - sd["min_ms"],
+                "chained_wobble_ms": cd["max_ms"] - cd["min_ms"],
+                "rtt_wobble_ms": (results["relay_rtt"]["max_ms"]
+                                  - results["relay_rtt"]["min_ms"]),
+            }
+            results[f"b{batch}_n{n_batches}"] = row
+            log(f"b{batch} n_batches={n_batches}: synced "
+                f"{sd['median_ms']:.1f} ms spread {sd['spread']:.3f} | "
+                f"chained {cd['median_ms']:.1f} ms spread "
+                f"{cd['spread']:.3f} | wobble synced "
+                f"{row['synced_wobble_ms']:.1f} vs chained "
+                f"{row['chained_wobble_ms']:.1f} vs RTT "
+                f"{row['rtt_wobble_ms']:.1f} ms")
+
+    write_json("jitter", results)
+
+
 # ------------------------------------------------------------------ main
 
 
@@ -1217,6 +1317,11 @@ def main(argv=None):
     p = add("njobs", cmd_njobs)
     p.add_argument("--trials", type=int, default=8)
     p.add_argument("--jobs", type=int, nargs="*", default=[1, 2, 4])
+
+    p = add("jitter", cmd_jitter, batches=[50])
+    p.add_argument("--chain-k", type=int, default=5)
+    p.add_argument("--rtt-reps", type=int, default=40)
+    p.set_defaults(reps=20)
 
     args = ap.parse_args(argv)
     args.fn(args)
